@@ -1,0 +1,51 @@
+"""CLUSTAL-style alignment emission (SURVEY.md C19; §8.6 secondary format).
+
+Canonical choices (pinned here for byte-stable goldens): header line
+``CLUSTAL multiple sequence alignment (praline-tpu)``, blank line, 60-column
+blocks separated by blank lines, names left-justified to the longest name
+(minimum 10) plus two spaces, and a conservation line marking fully conserved
+residue columns with ``*`` (the ``:``/``.`` similarity tiers are not emitted).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import TextIO
+
+import numpy as np
+
+from ..types import GAP, Alignment
+
+HEADER = "CLUSTAL multiple sequence alignment (praline-tpu)"
+BLOCK = 60
+
+
+def format_alignment_clustal(alignment: Alignment) -> str:
+    alphabet = alignment.alphabet
+    names = [m.name.split()[0] if m.name else f"seq{i}" for i, m in enumerate(alignment.members)]
+    width = max(10, max((len(n) for n in names), default=10))
+    rows = [alphabet.detokenize(alignment.rows[k]) for k in range(alignment.num_members)]
+    C = alignment.num_columns
+
+    tok = alignment.rows
+    conserved = np.logical_and(
+        (tok == tok[0:1]).all(axis=0), tok[0] != GAP
+    ) if alignment.num_members else np.zeros(C, bool)
+
+    out = [HEADER, ""]
+    for start in range(0, C, BLOCK):
+        stop = min(start + BLOCK, C)
+        for name, row in zip(names, rows):
+            out.append(f"{name:<{width}}  {row[start:stop]}")
+        marks = "".join("*" if conserved[c] else " " for c in range(start, stop))
+        out.append(f"{'':<{width}}  {marks}".rstrip())
+        out.append("")
+    return "\n".join(out).rstrip("\n") + "\n"
+
+
+def write_alignment_clustal(alignment: Alignment, path: str | Path | TextIO) -> None:
+    text = format_alignment_clustal(alignment)
+    if hasattr(path, "write"):
+        path.write(text)
+    else:
+        Path(path).write_text(text)

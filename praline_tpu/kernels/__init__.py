@@ -1,0 +1,18 @@
+"""TPU compute kernels: batched wavefront DP (XLA scan + Pallas) and drivers.
+
+Importing this package pulls in JAX; host-only layers (types/io/oracle) do
+not depend on it.
+"""
+
+from .batch import PairResult, align_pairs_batched
+from .scan import wavefront_dp
+from .scores import skewed_pair_scores
+from .traceback import replay_traceback
+
+__all__ = [
+    "PairResult",
+    "align_pairs_batched",
+    "replay_traceback",
+    "skewed_pair_scores",
+    "wavefront_dp",
+]

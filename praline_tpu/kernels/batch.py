@@ -1,0 +1,147 @@
+"""Batched pairwise-alignment driver: bucketing, padding, dispatch, unpack.
+
+The reference runs its O(N^2) pairwise stage as a serial Python loop
+(SURVEY.md C15 [B:5 "all-pairs scheduling (serial -> ...)"]); here arbitrary
+collections of profile pairs are length-bucketed, padded, and dispatched to
+the batched wavefront DP (kernels.scan / kernels.pallas_dp) so thousands of
+problems run data-parallel per chip.  Padding is score-neutral by
+construction: padded cells can never reach a terminal extracted at the true
+lengths (SURVEY.md §9 hard part 3).
+
+Degenerate problems (an empty side) route to the oracle's closed form.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence as Seq
+
+import numpy as np
+
+from ..types import Profile, ScoreMatrix
+from ..oracle.align import AlignResult, _degenerate
+from ..oracle.score import check_exactness, column_inverses, pair_score_matrix
+from .traceback import replay_traceback
+
+
+@dataclasses.dataclass(frozen=True)
+class PairResult:
+    """Scores-only result of one batched pairwise DP."""
+
+    score: float
+    length: float
+    ti: int
+    tj: int
+
+
+def _bucket(n: int, buckets: tuple[int, ...]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return n  # oversized: exact-size "bucket of one shape"
+
+
+def _pad_counts(profiles: list[Profile], L: int) -> tuple[np.ndarray, np.ndarray]:
+    B = len(profiles)
+    A = profiles[0].counts.shape[1]
+    counts = np.zeros((B, L, A), dtype=np.float32)
+    inv = np.ones((B, L), dtype=np.float32)
+    for b, p in enumerate(profiles):
+        counts[b, : p.length] = p.counts
+        inv[b, : p.length] = column_inverses(p)
+    return counts, inv
+
+
+def align_pairs_batched(
+    pairs: Seq[tuple[Profile, Profile]],
+    matrix: ScoreMatrix,
+    gap_series: tuple[int, ...],
+    mode: str,
+    *,
+    traceback: bool = False,
+    bucket_sizes: tuple[int, ...] = (63, 127, 255, 511, 1023, 2047),
+    batch_pairs: int = 32,
+    backend: str = "xla",
+) -> list[AlignResult] | list[PairResult]:
+    """Align every (px, py) pair; results in input order.
+
+    ``traceback=False`` returns :class:`PairResult` (score + path length —
+    all the distance stage needs); ``traceback=True`` returns full
+    :class:`AlignResult` paths bit-identical to the oracle.
+    """
+    import jax.numpy as jnp
+
+    from .scan import wavefront_dp
+    from .scores import skewed_pair_scores
+
+    if backend == "pallas":
+        from .pallas_dp import wavefront_dp_pallas as wavefront_dp  # noqa: F811
+
+    results: list = [None] * len(pairs)
+
+    # Group problem indices by (bucket_x, bucket_y).
+    groups: dict[tuple[int, int], list[int]] = {}
+    for idx, (px, py) in enumerate(pairs):
+        if px.length == 0 or py.length == 0:
+            if traceback:
+                results[idx] = _degenerate(px.length, py.length, gap_series, mode)
+            else:
+                r = _degenerate(px.length, py.length, gap_series, mode)
+                results[idx] = PairResult(r.score, float(r.length), px.length, py.length)
+            continue
+        check_exactness(px, py, matrix)
+        key = (_bucket(px.length, bucket_sizes), _bucket(py.length, bucket_sizes))
+        groups.setdefault(key, []).append(idx)
+
+    s_dev = jnp.asarray(matrix.as_f32())
+
+    for (bx, by), idxs in sorted(groups.items()):
+        for start in range(0, len(idxs), batch_pairs):
+            chunk = idxs[start : start + batch_pairs]
+            pxs = [pairs[i][0] for i in chunk]
+            pys = [pairs[i][1] for i in chunk]
+            cx, inv_x = _pad_counts(pxs, bx)
+            cy, inv_y = _pad_counts(pys, by)
+            lx = np.array([p.length for p in pxs], dtype=np.int32)
+            ly = np.array([p.length for p in pys], dtype=np.int32)
+
+            hs = skewed_pair_scores(
+                jnp.asarray(cx), jnp.asarray(inv_x), jnp.asarray(cy), jnp.asarray(inv_y), s_dev
+            )
+            out = wavefront_dp(
+                hs,
+                jnp.asarray(lx),
+                jnp.asarray(ly),
+                gap_series=tuple(gap_series),
+                mode=mode,
+                traceback=traceback,
+            )
+            score = np.asarray(out["score"])
+            length = np.asarray(out["length"])
+            ti = np.asarray(out["ti"])
+            tj = np.asarray(out["tj"])
+            tcode = np.asarray(out["tcode"])
+            if mode == "semiglobal":
+                length = length + (lx - ti) + (ly - tj)
+            if traceback:
+                tb = np.asarray(out["tb"])  # (Dscan, B, Lp)
+                for b, idx in enumerate(chunk):
+                    h = pair_score_matrix(pxs[b], pys[b], matrix)
+                    results[idx] = replay_traceback(
+                        tb[:, b, :],
+                        h,
+                        float(score[b]),
+                        int(ti[b]),
+                        int(tj[b]),
+                        int(tcode[b]),
+                        int(lx[b]),
+                        int(ly[b]),
+                        tuple(gap_series),
+                        mode,
+                    )
+            else:
+                for b, idx in enumerate(chunk):
+                    results[idx] = PairResult(
+                        float(score[b]), float(length[b]), int(ti[b]), int(tj[b])
+                    )
+    return results

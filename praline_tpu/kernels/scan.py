@@ -1,0 +1,320 @@
+"""Batched anti-diagonal wavefront DP as a jitted ``lax.scan`` (SURVEY.md §9 P2).
+
+This replaces the reference's per-cell interpreted loop (SURVEY.md C10) with
+the TPU-shaped formulation: all cells of an anti-diagonal update in one
+vector operation, a batch of B independent pairwise problems rides the
+sublane axis, and the scan streams precomputed skewed scores (kernels.scores)
+diagonal by diagonal.  The same code path runs on CPU (tests) and TPU; the
+Pallas kernel (kernels.pallas_dp) implements the identical recurrence with
+explicit VMEM control.
+
+Semantics are bit-identical to praline_tpu.oracle.align (the parity
+contract): same state machine, same tie-breaks, same f32 arithmetic.
+
+Layout: diagonal vectors are indexed by i (rows consumed of x), lane i holds
+cell (i, d - i).  Per problem true lengths (lx, ly) <= bucket shape (Lx, Ly);
+padded cells compute garbage that can never contaminate valid cells (the DP
+only propagates forward) and terminals are extracted at the true lengths.
+
+Traceback bits per interior cell (uint8):
+  bits 0-4: M predecessor code (0 = M, 1..k = Ix level, k+1..2k = Iy level,
+            31 = none — local fresh start),
+  bit 5:    level-k Ix choice (1 = stay at level k / extend, 0 = enter from
+            level k-1, or from M when k == 1),
+  bit 6:    same for Iy.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG = jnp.float32(-1.0e30)
+PTR_NONE = 31
+
+
+def _gap_prefix(gap_series: tuple[int, ...], length: int) -> np.ndarray:
+    k = len(gap_series)
+    g = np.asarray(gap_series, dtype=np.float32)
+    idx = np.minimum(np.arange(1, length + 1), k) - 1
+    cum = np.zeros(length + 1, dtype=np.float32)
+    if length:
+        cum[1:] = np.cumsum(g[idx], dtype=np.float32)
+    return cum
+
+
+def _priority_select(m, ixs, iys, lm, lixs, liys):
+    """Best state per cell with M > Ix(levels asc) > Iy(levels asc) on ties.
+
+    Returns (value, length, code) arrays; code as in the traceback-bit doc.
+    """
+    k = len(ixs)
+    val, ln, code = m, lm, jnp.zeros_like(m, dtype=jnp.int32)
+    for l in range(k):
+        better = ixs[l] > val
+        val = jnp.where(better, ixs[l], val)
+        ln = jnp.where(better, lixs[l], ln)
+        code = jnp.where(better, 1 + l, code)
+    for l in range(k):
+        better = iys[l] > val
+        val = jnp.where(better, iys[l], val)
+        ln = jnp.where(better, liys[l], ln)
+        code = jnp.where(better, 1 + k + l, code)
+    return val, ln, code
+
+
+@functools.partial(
+    jax.jit, static_argnames=("gap_series", "mode", "traceback")
+)
+def wavefront_dp(
+    hs: jax.Array,  # f32[D, B, Lp] skewed scores (kernels.scores layout)
+    lx: jax.Array,  # int32[B] true x lengths (>= 1)
+    ly: jax.Array,  # int32[B] true y lengths (>= 1)
+    gap_series: tuple[int, ...] = (11, 1),
+    mode: str = "global",
+    traceback: bool = False,
+):
+    """Run the batched DP.  Returns a dict with per-problem terminals:
+
+    ``score`` f32[B]; ``length`` f32[B] (emitted path columns, semiglobal
+    INCLUDING free leading gaps but EXCLUDING the trailing append — add
+    ``(lx - ti) + (ly - tj)`` on the host); ``ti``/``tj`` int32[B] terminal
+    cell; ``tcode`` int32[B] terminal state code (as traceback-bit codes);
+    and, when ``traceback``, ``tb`` uint8[D-2, B, Lp] direction bits.
+    """
+    D, B, Lp = hs.shape
+    k = len(gap_series)
+    if k > 15:
+        raise ValueError("gap series deeper than 15 levels not supported")
+    g = [jnp.float32(x) for x in gap_series]
+    local = mode == "local"
+    semi = mode == "semiglobal"
+    if mode not in ("global", "semiglobal", "local"):
+        raise ValueError(f"unknown mode {mode!r}")
+
+    cum = jnp.asarray(_gap_prefix(gap_series, D), dtype=jnp.float32)
+    lane = jnp.arange(Lp, dtype=jnp.int32)[None, :]  # (1, Lp)
+    zeros = jnp.zeros((B, Lp), jnp.float32)
+    negs = jnp.full((B, Lp), NEG, jnp.float32)
+
+    # ---- carries at d = 1 (cells (0,1) lane 0 and (1,0) lane 1) ----
+    border_m = 0.0 if local else NEG
+    m1 = jnp.where((lane == 0) | (lane == 1), jnp.float32(border_m), negs)
+    lm1 = zeros
+    ix1 = [negs for _ in range(k)]
+    iy1 = [negs for _ in range(k)]
+    lix1 = [zeros for _ in range(k)]
+    liy1 = [zeros for _ in range(k)]
+    if not local:
+        bval = jnp.float32(0.0) if semi else -cum[1]
+        # (1,0) is an Ix run of length 1 (level 1); (0,1) an Iy run.
+        ix1[0] = jnp.where(lane == 1, bval, negs)
+        iy1[0] = jnp.where(lane == 0, bval, negs)
+        lix1[0] = jnp.where(lane == 1, 1.0, zeros)
+        liy1[0] = jnp.where(lane == 0, 1.0, zeros)
+    # Best-state reduces: r2* = diag 0 (only cell (0,0), M = 0);
+    # r1* = diag 1 (reduced from the border states initialized above).
+    r2v = jnp.where(lane == 0, 0.0, negs)
+    r2l = zeros
+    r2c = jnp.zeros((B, Lp), jnp.int32)
+    r1v, r1l, r1c = _priority_select(m1, ix1, iy1, lm1, lix1, liy1)
+
+    # ---- terminal trackers ----
+    tval = jnp.full((B,), NEG, jnp.float32)
+    tlen = jnp.zeros((B,), jnp.float32)
+    ti = jnp.zeros((B,), jnp.int32)
+    tj = jnp.zeros((B,), jnp.int32)
+    tcode = jnp.zeros((B,), jnp.int32)
+    if semi:
+        # diag-1 border cells are terminal candidates when a side has
+        # length 1; prefer larger i: (1, 0) over (0, 1).
+        pick_y = ly == 1  # candidate (0, 1), an Iy cell
+        tval = jnp.where(pick_y, 0.0, tval)
+        tlen = jnp.where(pick_y, 1.0, tlen)
+        ti = jnp.where(pick_y, 0, ti)
+        tj = jnp.where(pick_y, 1, tj)
+        tcode = jnp.where(pick_y, 1 + k, tcode)
+        pick_x = lx == 1  # candidate (1, 0), an Ix cell
+        tval = jnp.where(pick_x, 0.0, tval)
+        tlen = jnp.where(pick_x, 1.0, tlen)
+        ti = jnp.where(pick_x, 1, ti)
+        tj = jnp.where(pick_x, 0, tj)
+        tcode = jnp.where(pick_x, 1, tcode)
+
+    def shift_v(v):  # lane i <- lane i-1, NEG fill
+        return jnp.concatenate([jnp.full_like(v[:, :1], NEG), v[:, :-1]], axis=1)
+
+    def shift_z(v):  # zero fill (lengths / codes)
+        return jnp.concatenate([jnp.zeros_like(v[:, :1]), v[:, :-1]], axis=1)
+
+    def take_lane(v, idx):  # v (B, Lp), idx (B,) -> (B,)
+        return jnp.take_along_axis(v, jnp.clip(idx, 0, Lp - 1)[:, None], axis=1)[:, 0]
+
+    def step(carry, inp):
+        d, hrow = inp
+        (
+            m1, ix1, iy1, lm1, lix1, liy1,
+            r1v, r1l, r1c, r2v, r2l, r2c,
+            tval, tlen, ti, tj, tcode,
+        ) = carry
+
+        m1s, lm1s = shift_v(m1), shift_z(lm1)
+        b2vs, b2ls, b2cs = shift_v(r2v), shift_z(r2l), shift_z(r2c)
+
+        # ---- gap states for diag d ----
+        nix = [None] * k
+        niy = [None] * k
+        nlix = [None] * k
+        nliy = [None] * k
+        if k == 1:
+            ix1s, lix1s = shift_v(ix1[0]), shift_z(lix1[0])
+            stay_x = ix1s > m1s
+            nix[0] = jnp.where(stay_x, ix1s, m1s) - g[0]
+            nlix[0] = jnp.where(stay_x, lix1s, lm1s) + 1.0
+            stay_y = iy1[0] > m1
+            niy[0] = jnp.where(stay_y, iy1[0], m1) - g[0]
+            nliy[0] = jnp.where(stay_y, liy1[0], lm1) + 1.0
+        else:
+            ix1s = [shift_v(v) for v in ix1]
+            lix1s = [shift_z(v) for v in lix1]
+            nix[0] = m1s - g[0]
+            nlix[0] = lm1s + 1.0
+            niy[0] = m1 - g[0]
+            nliy[0] = lm1 + 1.0
+            for l in range(1, k - 1):
+                nix[l] = ix1s[l - 1] - g[l]
+                nlix[l] = lix1s[l - 1] + 1.0
+                niy[l] = iy1[l - 1] - g[l]
+                nliy[l] = liy1[l - 1] + 1.0
+            stay_x = ix1s[k - 1] > ix1s[k - 2]
+            nix[k - 1] = jnp.where(stay_x, ix1s[k - 1], ix1s[k - 2]) - g[k - 1]
+            nlix[k - 1] = jnp.where(stay_x, lix1s[k - 1], lix1s[k - 2]) + 1.0
+            stay_y = iy1[k - 1] > iy1[k - 2]
+            niy[k - 1] = jnp.where(stay_y, iy1[k - 1], iy1[k - 2]) - g[k - 1]
+            nliy[k - 1] = jnp.where(stay_y, liy1[k - 1], liy1[k - 2]) + 1.0
+
+        # ---- M state ----
+        nm = hrow + b2vs
+        nlm = b2ls + 1.0
+        mcode = b2cs
+        if local:
+            clamp = nm < 0.0
+            nm = jnp.where(clamp, 0.0, nm)
+            mcode = jnp.where(clamp, PTR_NONE, mcode)
+            # Length restarts at ANY zero-valued M cell (clamped or exact
+            # zero): the oracle traceback stops there (§8.3), so the path
+            # length of the best local alignment is counted from it.
+            nlm = jnp.where(nm <= 0.0, 0.0, nlm)
+
+        # ---- borders: lane 0 = cell (0, d), lane d = cell (d, 0) ----
+        at0 = lane == 0
+        atd = lane == d
+        nm = jnp.where(at0 | atd, jnp.float32(border_m), nm)
+        nlm = jnp.where(at0 | atd, 0.0, nlm)
+        lvl_d = jnp.minimum(d, k)  # border run level (1-based)
+        d_f = d.astype(jnp.float32)
+        for l in range(k):
+            if local:
+                # local borders carry no gap states
+                nix[l] = jnp.where(at0 | atd, NEG, nix[l])
+                niy[l] = jnp.where(at0 | atd, NEG, niy[l])
+                nlix[l] = jnp.where(at0 | atd, 0.0, nlix[l])
+                nliy[l] = jnp.where(at0 | atd, 0.0, nliy[l])
+            else:
+                bx = jnp.float32(0.0) if semi else -cum[d]
+                on_lvl = lvl_d == l + 1
+                # (d, 0) is an Ix border run (level min(d, k)); (0, d) an Iy run.
+                nix[l] = jnp.where(
+                    atd, jnp.where(on_lvl, bx, NEG), jnp.where(at0, NEG, nix[l])
+                )
+                niy[l] = jnp.where(
+                    at0, jnp.where(on_lvl, bx, NEG), jnp.where(atd, NEG, niy[l])
+                )
+                nlix[l] = jnp.where(atd, d_f, jnp.where(at0, 0.0, nlix[l]))
+                nliy[l] = jnp.where(at0, d_f, jnp.where(atd, 0.0, nliy[l]))
+
+        # ---- reduce for the d+2 step and for terminals ----
+        bv, bl, bc = _priority_select(nm, nix, niy, nlm, nlix, nliy)
+
+        # ---- terminal tracking ----
+        if mode == "global":
+            pick = d == (lx + ly)
+            term_lane = lx
+            tval = jnp.where(pick, take_lane(bv, term_lane), tval)
+            tlen = jnp.where(pick, take_lane(bl, term_lane), tlen)
+            tcode = jnp.where(pick, take_lane(bc, term_lane), tcode)
+            ti = jnp.where(pick, lx, ti)
+            tj = jnp.where(pick, ly, tj)
+        elif semi:
+            # candidate A: last-column cell (d - ly, ly), evaluated first
+            # (smaller i than candidate B at the same step).
+            for cand_i, cand_j, ok in (
+                (d - ly, ly, (d - ly >= 0) & (d - ly <= lx)),
+                (lx, d - lx, (d - lx >= 0) & (d - lx <= ly)),
+            ):
+                cv = take_lane(bv, cand_i)
+                cl = take_lane(bl, cand_i)
+                cc = take_lane(bc, cand_i)
+                better = cv > tval
+                tie = (cv == tval) & (
+                    (cand_i > ti) | ((cand_i == ti) & (cand_j > tj))
+                )
+                repl = ok & (better | tie)
+                tval = jnp.where(repl, cv, tval)
+                tlen = jnp.where(repl, cl, tlen)
+                tcode = jnp.where(repl, cc, tcode)
+                ti = jnp.where(repl, cand_i, ti)
+                tj = jnp.where(repl, cand_j, tj)
+        else:  # local: running argmax over interior M cells
+            valid = (lane >= 1) & (lane <= lx[:, None]) & (d - lane >= 1) & (
+                d - lane <= ly[:, None]
+            )
+            mv = jnp.where(valid, nm, NEG)
+            step_best = jnp.max(mv, axis=1)
+            step_arg = jnp.argmax(mv, axis=1).astype(jnp.int32)  # first max: min i
+            step_len = take_lane(nlm, step_arg)
+            cj = d - step_arg
+            better = step_best > tval
+            tie = (step_best == tval) & (
+                (step_arg < ti) | ((step_arg == ti) & (cj < tj))
+            )
+            repl = better | tie
+            tval = jnp.where(repl, step_best, tval)
+            tlen = jnp.where(repl, step_len, tlen)
+            ti = jnp.where(repl, step_arg, ti)
+            tj = jnp.where(repl, cj, tj)
+            # tcode stays 0: local terminals are M cells.
+
+        new_carry = (
+            nm, nix, niy, nlm, nlix, nliy,
+            bv, bl, bc, r1v, r1l, r1c,
+            tval, tlen, ti, tj, tcode,
+        )
+
+        if traceback:
+            bits = mcode.astype(jnp.uint8)
+            if k == 1:
+                bits = bits | (stay_x.astype(jnp.uint8) << 5)
+                bits = bits | (stay_y.astype(jnp.uint8) << 6)
+            else:
+                bits = bits | (stay_x.astype(jnp.uint8) << 5)
+                bits = bits | (stay_y.astype(jnp.uint8) << 6)
+            return new_carry, bits
+        return new_carry, None
+
+    carry = (
+        m1, ix1, iy1, lm1, lix1, liy1,
+        r1v, r1l, r1c, r2v, r2l, r2c,
+        tval, tlen, ti, tj, tcode,
+    )
+    ds = jnp.arange(2, D, dtype=jnp.int32)
+    carry, tb = jax.lax.scan(step, carry, (ds, hs[2:]))
+    tval, tlen, ti, tj, tcode = carry[-5:]
+
+    out = {"score": tval, "length": tlen, "ti": ti, "tj": tj, "tcode": tcode}
+    if traceback:
+        out["tb"] = tb
+    return out

@@ -1,0 +1,86 @@
+"""Pair-space sharded batched DP (SURVEY.md §3.2 "DP" row, §9 P4).
+
+Shards a padded batch of pairwise problems over the mesh's ``pairs`` axis
+with ``shard_map``: every device runs score-skew + wavefront on its shard,
+then scalar terminals (score/length/terminal cell) are combined with an
+``all_gather`` over ICI so every device — and the host — sees the full
+distance tile.  Traceback bits stay sharded (they are O(L^2) per problem;
+only the host slices them per pair).
+
+This is the TPU replacement for the reference's serial all-pairs loop
+(SURVEY.md C15) at the multi-chip level; kernels.batch handles the
+single-chip batching underneath.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+from jax.sharding import PartitionSpec as P
+
+try:  # jax >= 0.6 moved shard_map out of experimental
+    from jax import shard_map as _shard_map_mod  # type: ignore[attr-defined]
+
+    shard_map = _shard_map_mod
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map  # type: ignore[no-redef]
+
+from .mesh import PAIR_AXIS
+from ..kernels.scan import wavefront_dp
+from ..kernels.scores import skewed_pair_scores
+
+
+@functools.lru_cache(maxsize=32)
+def _build(mesh_hash_key, gap_series: tuple[int, ...], mode: str, traceback: bool):
+    mesh = _MESHES[mesh_hash_key]
+
+    in_specs = (
+        P(PAIR_AXIS, None, None),  # cx
+        P(PAIR_AXIS, None),  # inv_x
+        P(PAIR_AXIS, None, None),  # cy
+        P(PAIR_AXIS, None),  # inv_y
+        P(None, None),  # substitution matrix (replicated)
+        P(PAIR_AXIS),  # lx
+        P(PAIR_AXIS),  # ly
+    )
+    out_specs = {
+        "score": P(),
+        "length": P(),
+        "ti": P(),
+        "tj": P(),
+        "tcode": P(),
+    }
+    if traceback:
+        out_specs["tb"] = P(None, PAIR_AXIS, None)
+
+    def run(cx, inv_x, cy, inv_y, s, lx, ly):
+        hs = skewed_pair_scores(cx, inv_x, cy, inv_y, s)
+        out = wavefront_dp(hs, lx, ly, gap_series=gap_series, mode=mode, traceback=traceback)
+        res = {
+            k: jax.lax.all_gather(out[k], PAIR_AXIS, axis=0, tiled=True)
+            for k in ("score", "length", "ti", "tj", "tcode")
+        }
+        if traceback:
+            res["tb"] = out["tb"]
+        return res
+
+    # check_vma=False: the scan's carry init mixes replicated constants with
+    # shard-varying inputs; the computation is per-shard pure either way.
+    fn = shard_map(run, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False)
+    return jax.jit(fn)
+
+
+_MESHES: dict = {}
+
+
+def sharded_wavefront_dp(mesh, cx, inv_x, cy, inv_y, s, lx, ly, gap_series, mode, traceback=False):
+    """Run the batched DP with the batch axis sharded over ``mesh``.
+
+    The batch size must be divisible by the mesh's pair-axis size (the
+    caller pads with dummy problems; kernels.batch does this).
+    """
+    key = (tuple(mesh.devices.flat), mesh.axis_names)
+    _MESHES[key] = mesh
+    fn = _build(key, tuple(gap_series), mode, traceback)
+    return fn(cx, inv_x, cy, inv_y, s, lx, ly)

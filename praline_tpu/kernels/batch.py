@@ -62,6 +62,7 @@ def align_pairs_batched(
     bucket_sizes: tuple[int, ...] = (63, 127, 255, 511, 1023, 2047),
     batch_pairs: int = 32,
     backend: str = "xla",
+    mesh=None,
 ) -> list[AlignResult] | list[PairResult]:
     """Align every (px, py) pair; results in input order.
 
@@ -95,27 +96,58 @@ def align_pairs_batched(
 
     s_dev = jnp.asarray(matrix.as_f32())
 
+    dummy = None
     for (bx, by), idxs in sorted(groups.items()):
         for start in range(0, len(idxs), batch_pairs):
             chunk = idxs[start : start + batch_pairs]
             pxs = [pairs[i][0] for i in chunk]
             pys = [pairs[i][1] for i in chunk]
+            if mesh is not None:
+                # Pad the batch to a multiple of the mesh's pair axis with
+                # trivial length-1 problems (results discarded below).
+                n_dev = int(np.prod(mesh.devices.shape))
+                pad = (-len(chunk)) % n_dev
+                if pad:
+                    if dummy is None:
+                        A = matrix.alphabet.size
+                        one = np.zeros((1, A), np.float32)
+                        one[0, 0] = 1.0
+                        dummy = Profile(one, np.zeros(1, np.float32), matrix.alphabet)
+                    pxs = pxs + [dummy] * pad
+                    pys = pys + [dummy] * pad
             cx, inv_x = _pad_counts(pxs, bx)
             cy, inv_y = _pad_counts(pys, by)
             lx = np.array([p.length for p in pxs], dtype=np.int32)
             ly = np.array([p.length for p in pys], dtype=np.int32)
 
-            hs = skewed_pair_scores(
-                jnp.asarray(cx), jnp.asarray(inv_x), jnp.asarray(cy), jnp.asarray(inv_y), s_dev
-            )
-            out = wavefront_dp(
-                hs,
-                jnp.asarray(lx),
-                jnp.asarray(ly),
-                gap_series=tuple(gap_series),
-                mode=mode,
-                traceback=traceback,
-            )
+            if mesh is not None:
+                from ..dist.allpairs import sharded_wavefront_dp
+
+                out = sharded_wavefront_dp(
+                    mesh,
+                    jnp.asarray(cx),
+                    jnp.asarray(inv_x),
+                    jnp.asarray(cy),
+                    jnp.asarray(inv_y),
+                    s_dev,
+                    jnp.asarray(lx),
+                    jnp.asarray(ly),
+                    tuple(gap_series),
+                    mode,
+                    traceback=traceback,
+                )
+            else:
+                hs = skewed_pair_scores(
+                    jnp.asarray(cx), jnp.asarray(inv_x), jnp.asarray(cy), jnp.asarray(inv_y), s_dev
+                )
+                out = wavefront_dp(
+                    hs,
+                    jnp.asarray(lx),
+                    jnp.asarray(ly),
+                    gap_series=tuple(gap_series),
+                    mode=mode,
+                    traceback=traceback,
+                )
             score = np.asarray(out["score"])
             length = np.asarray(out["length"])
             ti = np.asarray(out["ti"])

@@ -150,8 +150,17 @@ def wavefront_dp(
     def shift_z(v):  # zero fill (lengths / codes)
         return jnp.concatenate([jnp.zeros_like(v[:, :1]), v[:, :-1]], axis=1)
 
-    def take_lane(v, idx):  # v (B, Lp), idx (B,) -> (B,)
-        return jnp.take_along_axis(v, jnp.clip(idx, 0, Lp - 1)[:, None], axis=1)[:, 0]
+    def pick_lane(v, idx, fill):
+        """v (B, Lp), idx (B,) -> (B,): value at lane idx via a masked
+        reduce (one-hot max) — far cheaper than a gather on TPU."""
+        mask = lane == idx[:, None]
+        return jnp.max(jnp.where(mask, v, fill), axis=1)
+
+    def take_lane(v, idx):
+        return pick_lane(v, idx, NEG)
+
+    def take_lane_i(v, idx):
+        return pick_lane(v, idx, jnp.zeros((), v.dtype) - 1)
 
     def step(carry, inp):
         d, hrow = inp
@@ -245,7 +254,7 @@ def wavefront_dp(
             term_lane = lx
             tval = jnp.where(pick, take_lane(bv, term_lane), tval)
             tlen = jnp.where(pick, take_lane(bl, term_lane), tlen)
-            tcode = jnp.where(pick, take_lane(bc, term_lane), tcode)
+            tcode = jnp.where(pick, take_lane_i(bc, term_lane), tcode)
             ti = jnp.where(pick, lx, ti)
             tj = jnp.where(pick, ly, tj)
         elif semi:
@@ -257,7 +266,7 @@ def wavefront_dp(
             ):
                 cv = take_lane(bv, cand_i)
                 cl = take_lane(bl, cand_i)
-                cc = take_lane(bc, cand_i)
+                cc = take_lane_i(bc, cand_i)
                 better = cv > tval
                 tie = (cv == tval) & (
                     (cand_i > ti) | ((cand_i == ti) & (cand_j > tj))

@@ -1,0 +1,218 @@
+"""The production MSA pipeline: host orchestration + batched device DP.
+
+Mirrors the oracle workflow (SURVEY.md §4.1, oracle/msa.py) stage for stage,
+but every pairwise DP — preprofile star alignments, the O(N^2) all-pairs
+distance stage, and the progressive merges — is dispatched through the
+batched wavefront kernel (kernels.batch).  Profiles, guide tree, and gap
+injection are cheap host work and reuse the oracle's functions verbatim
+(SURVEY.md §9 hard part 4), so pipeline output is column-identical to
+``oracle_msa`` by construction: the kernels are bit-parity tested and the
+rest IS the oracle code.
+
+Batching strategy:
+* preprofiles: all N*(N-1) master-slave alignments in one batched call;
+* all-pairs: all N*(N-1)/2 pairs, scores+lengths only (no traceback);
+* merges: guide-tree joins grouped by depth level; every join in a level is
+  independent, so each level is one batched profile-profile call
+  (tree-level pipelining, SURVEY.md §3.2 "PP" row).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..types import (
+    Alignment,
+    PralineConfig,
+    Profile,
+    ScoreMatrix,
+    Sequence,
+    SequenceTree,
+    TRACK_ID_PREPROFILE,
+)
+from ..oracle.align import AlignResult
+from ..oracle.merge import full_coverage_path, inject_gaps
+from ..oracle.msa import oracle_msa
+from ..oracle.preprofile import star_counts, project_to_master
+from ..oracle.profile import member_profile, node_profile
+from ..oracle.tree import build_guide_tree, similarity_from_scores
+
+
+def _batch_kwargs(config: PralineConfig, mesh=None) -> dict:
+    return dict(
+        bucket_sizes=tuple(config.bucket_sizes),
+        batch_pairs=config.batch_pairs,
+        backend="pallas" if config.backend == "pallas" else "xla",
+        mesh=mesh,
+    )
+
+
+def batched_preprofiles(
+    sequences: list[Sequence],
+    matrix: ScoreMatrix,
+    config: PralineConfig,
+    extra_slaves: dict[int, list[Sequence]] | None = None,
+    mesh=None,
+) -> list[Sequence]:
+    """Attach preprofile tracks, all master-slave DPs in one batched call."""
+    from ..kernels import align_pairs_batched
+
+    mode = config.preprofile_mode
+    if mode == "dummy":
+        return [
+            s.with_profile(TRACK_ID_PREPROFILE, s.one_hot_profile()) for s in sequences
+        ]
+    gap_series = config.effective_preprofile_gap_series
+
+    jobs: list[tuple[int, Sequence]] = []  # (master index, slave)
+    for i, master in enumerate(sequences):
+        for j, slave in enumerate(sequences):
+            if j != i:
+                jobs.append((i, slave))
+        if extra_slaves and i in extra_slaves:
+            jobs.extend((i, hit) for hit in extra_slaves[i])
+
+    pairs = [
+        (sequences[i].one_hot_profile(), slave.one_hot_profile()) for i, slave in jobs
+    ]
+    results: list[AlignResult] = align_pairs_batched(
+        pairs, matrix, gap_series, mode, traceback=True, **_batch_kwargs(config, mesh)
+    )
+
+    rows_per_master: dict[int, list[np.ndarray]] = {i: [] for i in range(len(sequences))}
+    toks_per_master: dict[int, list[np.ndarray]] = {i: [] for i in range(len(sequences))}
+    for (i, slave), res in zip(jobs, results):
+        rows_per_master[i].append(project_to_master(res, sequences[i].length))
+        toks_per_master[i].append(slave.tokens)
+    out = []
+    for i, master in enumerate(sequences):
+        prof = star_counts(master, rows_per_master[i], toks_per_master[i])
+        out.append(master.with_profile(TRACK_ID_PREPROFILE, prof))
+    return out
+
+
+def batched_all_pairs(
+    sequences: list[Sequence],
+    matrix: ScoreMatrix,
+    config: PralineConfig,
+    mesh=None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """N x N (score, alignment-length) matrices via one batched dispatch."""
+    from ..kernels import align_pairs_batched
+
+    n = len(sequences)
+    profiles = [member_profile(s) for s in sequences]
+    index = [(i, j) for i in range(n) for j in range(i + 1, n)]
+    results = align_pairs_batched(
+        [(profiles[i], profiles[j]) for i, j in index],
+        matrix,
+        config.gap_series,
+        config.distance_mode,
+        traceback=False,
+        **_batch_kwargs(config, mesh),
+    )
+    scores = np.zeros((n, n), dtype=np.float64)
+    lengths = np.zeros((n, n), dtype=np.int64)
+    for i in range(n):
+        lengths[i, i] = max(1, sequences[i].length)
+    for (i, j), r in zip(index, results):
+        scores[i, j] = scores[j, i] = r.score
+        lengths[i, j] = lengths[j, i] = int(r.length)
+    return scores, lengths
+
+
+def _merge_levels(tree: SequenceTree) -> list[list[int]]:
+    """Group join indices by depth so each level is independent."""
+    n = tree.num_leaves
+    depth = {i: 0 for i in range(n)}
+    levels: dict[int, list[int]] = {}
+    for k, (l, r) in enumerate(tree.joins):
+        d = 1 + max(depth[l], depth[r])
+        depth[n + k] = d
+        levels.setdefault(d, []).append(k)
+    return [levels[d] for d in sorted(levels)]
+
+
+def batched_progressive_merge(
+    sequences: list[Sequence],
+    tree: SequenceTree,
+    matrix: ScoreMatrix,
+    config: PralineConfig,
+    mesh=None,
+) -> Alignment:
+    """Tree walk with one batched profile-profile DP call per tree level."""
+    from ..kernels import align_pairs_batched
+
+    nodes: dict[int, Alignment] = {
+        i: Alignment.single(seq) for i, seq in enumerate(sequences)
+    }
+    profiles: dict[int, Profile] = {}
+    n = tree.num_leaves
+
+    for level in _merge_levels(tree):
+        pairs = []
+        for k in level:
+            l, r = tree.joins[k]
+            for node in (l, r):
+                if node not in profiles:
+                    profiles[node] = node_profile(nodes[node])
+            pairs.append((profiles[tree.joins[k][0]], profiles[tree.joins[k][1]]))
+        results = align_pairs_batched(
+            pairs,
+            matrix,
+            config.gap_series,
+            config.merge_mode,
+            traceback=True,
+            **_batch_kwargs(config, mesh),
+        )
+        for k, res in zip(level, results):
+            l, r = tree.joins[k]
+            left, right = nodes.pop(l), nodes.pop(r)
+            cols_x, cols_y = full_coverage_path(
+                res, left.num_columns, right.num_columns
+            )
+            rows = inject_gaps(left.rows, right.rows, cols_x, cols_y)
+            nodes[n + k] = Alignment(left.members + right.members, rows)
+            profiles.pop(l, None)
+            profiles.pop(r, None)
+
+    root = nodes[tree.root]
+    index_of = {id(m): k for k, m in enumerate(root.members)}
+    perm = []
+    used: set[int] = set()
+    for seq in sequences:
+        k = index_of.get(id(seq))
+        if k is None:
+            k = next(
+                i for i, m in enumerate(root.members) if i not in used and m.name == seq.name
+            )
+        used.add(k)
+        perm.append(k)
+    return Alignment(tuple(root.members[k] for k in perm), root.rows[perm])
+
+
+def msa_align(
+    sequences: list[Sequence],
+    matrix: ScoreMatrix,
+    config: PralineConfig | None = None,
+    extra_slaves: dict[int, list[Sequence]] | None = None,
+    mesh=None,
+) -> Alignment:
+    """Full PRALINE-equivalent MSA (SURVEY.md C18), batched on device.
+
+    ``config.backend``: ``"oracle"`` runs the pure NumPy reference pipeline;
+    ``"xla"``/``"pallas"``/``"auto"`` run the batched kernel pipeline.
+    """
+    config = config or PralineConfig()
+    if not sequences:
+        raise ValueError("no sequences")
+    if len(sequences) == 1:
+        return Alignment.single(sequences[0])
+    if config.backend == "oracle":
+        return oracle_msa(sequences, matrix, config, extra_slaves=extra_slaves)
+
+    seqs = batched_preprofiles(sequences, matrix, config, extra_slaves=extra_slaves, mesh=mesh)
+    scores, lengths = batched_all_pairs(seqs, matrix, config, mesh=mesh)
+    sim = similarity_from_scores(scores, lengths, config.score_normalization)
+    tree = build_guide_tree(sim, config.linkage)
+    return batched_progressive_merge(seqs, tree, matrix, config, mesh=mesh)

@@ -1,0 +1,81 @@
+"""Distributed path on a simulated 8-device CPU mesh (SURVEY.md §5.4)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from praline_tpu import ALPHABET_AA, PralineConfig, builtin_score_matrix
+from praline_tpu.dist import make_pair_mesh
+from praline_tpu.io import format_alignment_fasta
+from praline_tpu.kernels import align_pairs_batched
+from praline_tpu.msa import msa_align
+from praline_tpu.oracle import align_profiles, oracle_msa
+from praline_tpu.types import Profile, Sequence
+
+B62 = builtin_score_matrix("blosum62")
+
+
+def require_devices(n):
+    if len(jax.devices()) < n:
+        pytest.skip(f"needs {n} simulated devices")
+
+
+def random_pairs(rng, n, lmax=30):
+    def one(L):
+        return Profile.from_tokens(rng.integers(0, 20, size=L).astype(np.int32), ALPHABET_AA)
+
+    return [
+        (one(int(rng.integers(2, lmax))), one(int(rng.integers(2, lmax)))) for _ in range(n)
+    ]
+
+
+@pytest.mark.parametrize("mode", ["global", "semiglobal", "local"])
+def test_sharded_scores_match_oracle(mode):
+    require_devices(8)
+    mesh = make_pair_mesh(8)
+    rng = np.random.default_rng(hash(mode) % 2**32)
+    pairs = random_pairs(rng, 11)  # deliberately not divisible by 8
+    got = align_pairs_batched(
+        pairs, B62, (11, 1), mode, bucket_sizes=(31,), batch_pairs=16, mesh=mesh
+    )
+    for (px, py), r in zip(pairs, got):
+        want = align_profiles(px, py, B62, (11, 1), mode)
+        assert r.score == want.score
+        assert r.length == want.length
+
+
+def test_sharded_traceback_matches_unsharded():
+    require_devices(4)
+    mesh = make_pair_mesh(4)
+    rng = np.random.default_rng(7)
+    pairs = random_pairs(rng, 6)
+    sharded = align_pairs_batched(
+        pairs, B62, (11, 1), "global", traceback=True, bucket_sizes=(31,), mesh=mesh
+    )
+    plain = align_pairs_batched(
+        pairs, B62, (11, 1), "global", traceback=True, bucket_sizes=(31,)
+    )
+    for a, b in zip(sharded, plain):
+        assert a.score == b.score
+        np.testing.assert_array_equal(a.cols_x, b.cols_x)
+        np.testing.assert_array_equal(a.cols_y, b.cols_y)
+
+
+def test_full_pipeline_on_mesh_matches_oracle():
+    require_devices(8)
+    mesh = make_pair_mesh(8)
+    seqs = [
+        Sequence.from_str(n, t, ALPHABET_AA)
+        for n, t in [
+            ("a", "MKVLAWGYPVED"),
+            ("b", "MKVLAWGYPED"),
+            ("c", "MKVINWGYPVED"),
+            ("d", "MRVLAWGYAVED"),
+            ("e", "GGPLNWHHQQAC"),
+        ]
+    ]
+    cfg = PralineConfig(preprofile_mode="global")
+    want = oracle_msa(seqs, B62, cfg)
+    got = msa_align(seqs, B62, cfg, mesh=mesh)
+    assert format_alignment_fasta(got) == format_alignment_fasta(want)

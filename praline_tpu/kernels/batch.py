@@ -70,11 +70,15 @@ def align_pairs_batched(
     all the distance stage needs); ``traceback=True`` returns full
     :class:`AlignResult` paths bit-identical to the oracle.
     """
+    import jax
     import jax.numpy as jnp
 
     from .scan import wavefront_dp
     from .scores import skewed_pair_scores
 
+    if backend == "auto":
+        # Pallas on TPU (5x+ the XLA scan); the scan path elsewhere.
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     if backend == "pallas":
         from .pallas_dp import wavefront_dp_pallas as wavefront_dp  # noqa: F811
 

@@ -42,7 +42,7 @@ def _batch_kwargs(config: PralineConfig, mesh=None) -> dict:
     return dict(
         bucket_sizes=tuple(config.bucket_sizes),
         batch_pairs=config.batch_pairs,
-        backend="pallas" if config.backend == "pallas" else "xla",
+        backend="xla" if config.backend == "oracle" else config.backend,
         mesh=mesh,
     )
 
@@ -203,6 +203,9 @@ def msa_align(
     ``config.backend``: ``"oracle"`` runs the pure NumPy reference pipeline;
     ``"xla"``/``"pallas"``/``"auto"`` run the batched kernel pipeline.
     """
+    from ..util.checkpoint import Checkpoint, run_digest
+    from ..util.metrics import METRICS
+
     config = config or PralineConfig()
     if not sequences:
         raise ValueError("no sequences")
@@ -211,8 +214,47 @@ def msa_align(
     if config.backend == "oracle":
         return oracle_msa(sequences, matrix, config, extra_slaves=extra_slaves)
 
-    seqs = batched_preprofiles(sequences, matrix, config, extra_slaves=extra_slaves, mesh=mesh)
-    scores, lengths = batched_all_pairs(seqs, matrix, config, mesh=mesh)
-    sim = similarity_from_scores(scores, lengths, config.score_normalization)
-    tree = build_guide_tree(sim, config.linkage)
-    return batched_progressive_merge(seqs, tree, matrix, config, mesh=mesh)
+    ckpt = (
+        Checkpoint(config.checkpoint_dir, run_digest(sequences, config))
+        if config.checkpoint_dir
+        else None
+    )
+    METRICS.reset()
+
+    with METRICS.timed("preprofiles"):
+        seqs = ckpt.load_preprofiles(sequences) if ckpt else None
+        if seqs is None:
+            seqs = batched_preprofiles(
+                sequences, matrix, config, extra_slaves=extra_slaves, mesh=mesh
+            )
+            if ckpt and config.preprofile_mode != "dummy":
+                ckpt.save_preprofiles(seqs)
+
+    with METRICS.timed("all_pairs"):
+        loaded = ckpt.load_distances() if ckpt else None
+        if loaded is None:
+            scores, lengths = batched_all_pairs(seqs, matrix, config, mesh=mesh)
+            n = len(seqs)
+            cells = sum(
+                float(seqs[i].length) * seqs[j].length
+                for i in range(n)
+                for j in range(i + 1, n)
+            )
+            METRICS.add_pairs("all_pairs", n * (n - 1) // 2, cells)
+            if ckpt:
+                ckpt.save_distances(scores, lengths)
+        else:
+            scores, lengths = loaded
+
+    with METRICS.timed("guide_tree"):
+        tree = ckpt.load_tree() if ckpt else None
+        if tree is None:
+            sim = similarity_from_scores(scores, lengths, config.score_normalization)
+            tree = build_guide_tree(sim, config.linkage)
+            if ckpt:
+                ckpt.save_tree(tree)
+
+    with METRICS.timed("merge"):
+        result = batched_progressive_merge(seqs, tree, matrix, config, mesh=mesh)
+    METRICS.log_summary()
+    return result

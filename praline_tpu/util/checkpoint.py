@@ -1,0 +1,103 @@
+"""Tile-resumable checkpoints for the expensive pipeline stages.
+
+The reference has no checkpointing (rerun from scratch; SURVEY.md §6).  The
+TPU build persists, per run: (a) preprofile tracks, (b) the O(N^2) distance
+matrices, (c) the guide tree — as ``.npz``/JSON artifacts keyed by a digest
+of the inputs + config, so ``--resume`` skips completed stages and a
+multi-host failure restarts from the last finished artifact.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+from pathlib import Path
+
+import numpy as np
+
+from ..types import PralineConfig, Profile, Sequence, SequenceTree, TRACK_ID_PREPROFILE
+
+
+def run_digest(sequences: list[Sequence], config: PralineConfig) -> str:
+    """Digest of inputs + semantics-affecting config, guarding stale resume."""
+    h = hashlib.sha256()
+    for s in sequences:
+        h.update(s.name.encode())
+        h.update(s.tokens.tobytes())
+    cfg = dataclasses.asdict(config)
+    # Exclude knobs that don't change alignment semantics: batching/device
+    # choices and output formatting.
+    for key in (
+        "bucket_sizes",
+        "batch_pairs",
+        "backend",
+        "mesh_shape",
+        "checkpoint_dir",
+        "output_format",
+        "fasta_wrap",
+    ):
+        cfg.pop(key, None)
+    h.update(json.dumps(cfg, sort_keys=True, default=str).encode())
+    return h.hexdigest()[:16]
+
+
+class Checkpoint:
+    def __init__(self, directory: str | Path, digest: str) -> None:
+        self.dir = Path(directory)
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self.digest = digest
+        meta = self.dir / "meta.json"
+        if meta.exists():
+            old = json.loads(meta.read_text())
+            if old.get("digest") != digest:
+                raise ValueError(
+                    f"checkpoint dir {self.dir} belongs to a different run "
+                    f"(digest {old.get('digest')} != {digest}); use a fresh dir"
+                )
+        else:
+            meta.write_text(json.dumps({"digest": digest}))
+
+    # -- preprofiles ------------------------------------------------------
+    def save_preprofiles(self, sequences: list[Sequence]) -> None:
+        arrays = {}
+        for i, s in enumerate(sequences):
+            prof = s.profiles[TRACK_ID_PREPROFILE]
+            arrays[f"counts_{i}"] = prof.counts
+            arrays[f"gaps_{i}"] = prof.gaps
+        np.savez_compressed(self.dir / "preprofiles.npz", **arrays)
+
+    def load_preprofiles(self, sequences: list[Sequence]) -> list[Sequence] | None:
+        path = self.dir / "preprofiles.npz"
+        if not path.exists():
+            return None
+        data = np.load(path)
+        out = []
+        for i, s in enumerate(sequences):
+            prof = Profile(data[f"counts_{i}"], data[f"gaps_{i}"], s.alphabet)
+            out.append(s.with_profile(TRACK_ID_PREPROFILE, prof))
+        return out
+
+    # -- distance stage ---------------------------------------------------
+    def save_distances(self, scores: np.ndarray, lengths: np.ndarray) -> None:
+        np.savez_compressed(self.dir / "distances.npz", scores=scores, lengths=lengths)
+
+    def load_distances(self) -> tuple[np.ndarray, np.ndarray] | None:
+        path = self.dir / "distances.npz"
+        if not path.exists():
+            return None
+        data = np.load(path)
+        return data["scores"], data["lengths"]
+
+    # -- guide tree -------------------------------------------------------
+    def save_tree(self, tree: SequenceTree) -> None:
+        (self.dir / "tree.json").write_text(
+            json.dumps({"num_leaves": tree.num_leaves, "joins": list(tree.joins)})
+        )
+
+    def load_tree(self) -> SequenceTree | None:
+        path = self.dir / "tree.json"
+        if not path.exists():
+            return None
+        data = json.loads(path.read_text())
+        return SequenceTree(data["num_leaves"], tuple(tuple(j) for j in data["joins"]))

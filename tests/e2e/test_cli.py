@@ -1,0 +1,95 @@
+"""CLI surface tests (SURVEY.md C21)."""
+
+import numpy as np
+import pytest
+
+from praline_tpu.cli import main
+
+
+FASTA = """>a
+MKVLAWGYPVED
+>b
+MKVLAWGYPED
+>c
+MKVINWGYPVED
+"""
+
+
+@pytest.fixture
+def in_fasta(tmp_path):
+    p = tmp_path / "in.fasta"
+    p.write_text(FASTA)
+    return p
+
+
+def test_cli_fasta_output(in_fasta, tmp_path):
+    out = tmp_path / "out.fasta"
+    rc = main([str(in_fasta), str(out)])
+    assert rc == 0
+    text = out.read_text()
+    assert text.startswith(">a\n")
+    assert text.count(">") == 3
+
+
+def test_cli_clustal_by_extension(in_fasta, tmp_path):
+    out = tmp_path / "out.aln"
+    rc = main([str(in_fasta), str(out), "-v"])
+    assert rc == 0
+    assert out.read_text().startswith("CLUSTAL")
+
+
+def test_cli_full_knobs(in_fasta, tmp_path):
+    out = tmp_path / "out.fasta"
+    rc = main(
+        [
+            str(in_fasta), str(out),
+            "-g", "13,7,1",
+            "--mode", "semiglobal",
+            "--distance-mode", "local",
+            "-p", "global",
+            "--linkage", "complete",
+            "--score-normalization", "none",
+            "--backend", "xla",
+        ]
+    )
+    assert rc == 0
+    assert out.read_text().count(">") == 3
+
+
+def test_cli_checkpoint_resume(in_fasta, tmp_path):
+    out = tmp_path / "out.fasta"
+    ck = tmp_path / "ckpt"
+    rc = main([str(in_fasta), str(out), "-p", "global", "--checkpoint-dir", str(ck)])
+    assert rc == 0
+    first = out.read_text()
+    assert (ck / "distances.npz").exists()
+    assert (ck / "tree.json").exists()
+    assert (ck / "preprofiles.npz").exists()
+    # resume produces the identical alignment
+    out2 = tmp_path / "out2.fasta"
+    rc = main([str(in_fasta), str(out2), "-p", "global", "--resume", str(ck)])
+    assert rc == 0
+    assert out2.read_text() == first
+
+
+def test_cli_bad_inputs(tmp_path, capsys):
+    missing = tmp_path / "nope.fasta"
+    out = tmp_path / "o"
+    assert main([str(missing), str(out)]) == 2
+    bad = tmp_path / "bad.fasta"
+    bad.write_text("no header\n")
+    assert main([str(bad), str(out)]) == 2
+    ok = tmp_path / "ok.fasta"
+    ok.write_text(">x\nMKV\n")
+    assert main([str(ok), str(out), "--matrix", "not_a_matrix"]) == 2
+    with pytest.raises(SystemExit):
+        main([str(ok), str(out), "-g", "11,banana"])
+
+
+def test_cli_dna(tmp_path):
+    f = tmp_path / "dna.fasta"
+    f.write_text(">d1\nACGTACGT\n>d2\nACGTCGT\n")
+    out = tmp_path / "out.fasta"
+    rc = main([str(f), str(out), "-a", "dna", "-m", "dna_simple", "-g", "8,2"])
+    assert rc == 0
+    assert out.read_text().count(">") == 2

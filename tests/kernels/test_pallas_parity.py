@@ -1,0 +1,44 @@
+"""Pallas kernel == XLA scan parity (interpret mode on CPU; the same cases
+run compiled on a real TPU chip via the verify flow)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from praline_tpu.kernels.pallas_dp import wavefront_dp_pallas
+from praline_tpu.kernels.scan import wavefront_dp
+
+
+def make_case(rng, B, Lx, Ly):
+    D, Lp = Lx + Ly + 1, Lx + 1
+    hs = np.zeros((D, B, Lp), np.float32)
+    h = rng.integers(-4, 6, size=(B, Lx, Ly)).astype(np.float32)
+    for b in range(B):
+        for i in range(1, Lx + 1):
+            for j in range(1, Ly + 1):
+                hs[i + j, b, i] = h[b, i - 1, j - 1]
+    lx = rng.integers(1, Lx + 1, size=B).astype(np.int32)
+    ly = rng.integers(1, Ly + 1, size=B).astype(np.int32)
+    return jnp.asarray(hs), jnp.asarray(lx), jnp.asarray(ly)
+
+
+@pytest.mark.parametrize("mode", ["global", "semiglobal", "local"])
+@pytest.mark.parametrize("gap_series", [(11, 1), (3,), (5, 3, 1)])
+def test_pallas_matches_scan(mode, gap_series):
+    rng = np.random.default_rng(hash((mode, gap_series)) % 2**32)
+    hs, lx, ly = make_case(rng, B=3, Lx=9, Ly=7)
+    a = wavefront_dp(hs, lx, ly, gap_series=gap_series, mode=mode, traceback=True)
+    p = wavefront_dp_pallas(hs, lx, ly, gap_series=gap_series, mode=mode, traceback=True)
+    for key in ("score", "length", "ti", "tj", "tcode", "tb"):
+        np.testing.assert_array_equal(
+            np.asarray(a[key]), np.asarray(p[key]), err_msg=f"{mode} {gap_series} {key}"
+        )
+
+
+def test_pallas_batch_block_padding():
+    rng = np.random.default_rng(0)
+    hs, lx, ly = make_case(rng, B=5, Lx=6, Ly=6)  # 5 not divisible by block
+    a = wavefront_dp(hs, lx, ly, gap_series=(4, 1), mode="global")
+    p = wavefront_dp_pallas(hs, lx, ly, gap_series=(4, 1), mode="global", block_b=8)
+    np.testing.assert_array_equal(np.asarray(a["score"]), np.asarray(p["score"]))

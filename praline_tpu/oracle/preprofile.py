@@ -47,16 +47,20 @@ def project_to_master(result: AlignResult, master_len: int) -> np.ndarray:
 def star_counts(
     master: Sequence, slave_rows: list[np.ndarray], slave_tokens: list[np.ndarray]
 ) -> Profile:
-    """Counts of the star alignment (master row + projected slave rows)."""
+    """Counts of the star alignment (master row + projected slave rows).
+
+    ``slave_rows[k]`` holds slave POSITION indices per master position (or
+    GAP/ABSENT); the residue counted is ``slave_tokens[k][position]``.
+    """
     alphabet = master.alphabet
     L = master.length
     counts = np.zeros((L, alphabet.size), dtype=np.float32)
     counts[np.arange(L), master.tokens] = 1.0
     gaps = np.zeros(L, dtype=np.float32)
-    for row in slave_rows:
+    for row, stoks in zip(slave_rows, slave_tokens):
         aligned = row >= 0
         pos = np.nonzero(aligned)[0]
-        np.add.at(counts, (pos, row[pos]), 1.0)
+        np.add.at(counts, (pos, stoks[row[pos]]), 1.0)
         gaps += (row == GAP).astype(np.float32)
     return Profile(counts, gaps, alphabet)
 

@@ -1,0 +1,42 @@
+"""Golden end-to-end tests (SURVEY.md §5.5): the batched pipeline must emit
+byte-equal FASTA/CLUSTAL against committed oracle-generated goldens."""
+
+from pathlib import Path
+
+import pytest
+
+from praline_tpu import ALPHABET_AA, PralineConfig, builtin_score_matrix
+from praline_tpu.io import (
+    format_alignment_clustal,
+    format_alignment_fasta,
+    load_sequence_fasta,
+)
+from praline_tpu.msa import msa_align
+
+TESTDATA = Path(__file__).resolve().parents[2] / "testdata"
+B62 = builtin_score_matrix("blosum62")
+
+CONFIGS = {
+    "default": PralineConfig(),
+    "ppglobal": PralineConfig(preprofile_mode="global"),
+    "series3_local": PralineConfig(
+        gap_series=(13, 7, 1), distance_mode="local", linkage="complete"
+    ),
+}
+
+
+@pytest.mark.parametrize("tag", sorted(CONFIGS))
+def test_family10_golden_byte_equal(tag):
+    seqs = load_sequence_fasta(TESTDATA / "family10.fasta", ALPHABET_AA)
+    aln = msa_align(seqs, B62, CONFIGS[tag])
+    want_fasta = (TESTDATA / f"family10.{tag}.golden.fasta").read_text()
+    want_clustal = (TESTDATA / f"family10.{tag}.golden.aln").read_text()
+    assert format_alignment_fasta(aln) == want_fasta
+    assert format_alignment_clustal(aln) == want_clustal
+
+
+def test_goldens_look_like_alignments():
+    text = (TESTDATA / "family10.default.golden.fasta").read_text()
+    assert text.count(">") == 10
+    rows = [l for l in text.splitlines() if not l.startswith(">")]
+    assert rows and all(set(r) <= set("ARNDCQEGHILKMFPSTWYVBZX-") for r in rows)

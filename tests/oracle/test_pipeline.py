@@ -151,3 +151,17 @@ def test_single_and_pair_inputs():
     assert one.num_columns == ss[0].length
     two = oracle_msa(ss[:2], B62, CFG)
     assert two.num_members == 2
+
+
+def test_star_counts_identify_residues():
+    """Preprofile counts must hold residue identities, not positions."""
+    master = Sequence.from_str("m", "AAAA", ALPHABET_AA)
+    slave = Sequence.from_str("s", "RRRR", ALPHABET_AA)
+    from praline_tpu.oracle import build_preprofile
+
+    prof = build_preprofile(master, [slave], B62, (11, 1), "global")
+    iA = ALPHABET_AA.index("A")
+    iR = ALPHABET_AA.index("R")
+    assert np.all(prof.counts[:, iA] == 1.0)
+    assert np.all(prof.counts[:, iR] == 1.0)
+    assert prof.counts.sum() == 8.0

@@ -6,10 +6,18 @@ parity tests enforce this), but implemented as a Pallas kernel:
 * grid = (batch_blocks, D - 2): the second (innermost, sequential) axis walks
   anti-diagonals; Mosaic auto-pipelines the skewed score row HBM->VMEM with
   double buffering, and traceback bits stream back per step;
-* DP state vectors (M / Ix / Iy values + path lengths + two best-state
-  reduce buffers) are VMEM scratch persisting across the sequential grid;
+* DP state vectors (M / Ix / Iy values + optional path lengths + two
+  best-state reduce buffers) are VMEM scratch persisting across the
+  sequential grid;
 * batch blocks bound VMEM: each block of ``block_b`` problems re-initializes
   the scratch at its first diagonal step.
+
+Cost gating: path-length carries only exist when ``lengths=True`` (the
+scores-only distance stage needs them for guide-tree normalization), and
+predecessor-code carries only when ``traceback=True`` (the replay needs
+them); each drops roughly a third of the per-step vector work of the other
+mode.  ``lengths`` defaults to ``not traceback``, matching how the batch
+driver consumes the outputs.
 
 Layout as in kernels.scan: lane i of a diagonal vector holds cell (i, d-i);
 tie-breaks, border semantics and traceback bit packing are identical.
@@ -35,86 +43,107 @@ def _pick(v, mask, fill):
     return jnp.max(jnp.where(mask, v, fill), axis=1, keepdims=True)
 
 
-def _make_kernel(D, Bblk, Lp, k, gap_series, mode, traceback):
+def _scratch_names(k: int, lengths: bool, traceback: bool) -> list[str]:
+    names = ["m1", "r1v", "r2v", "tval", "tis", "tjs", "ix1", "iy1"]
+    if lengths:
+        names += ["lm1", "r1l", "r2l", "tlen", "lix1", "liy1"]
+    if traceback:
+        names += ["r1c", "r2c", "tcs"]
+    return names
+
+
+def _make_kernel(D, Bblk, Lp, k, gap_series, mode, lengths, traceback):
     g = [np.float32(x) for x in gap_series]
     local = mode == "local"
     semi = mode == "semiglobal"
     border_m = np.float32(0.0 if local else NEG)
+    names = _scratch_names(k, lengths, traceback)
 
-    def kernel(
-        cum_ref,  # SMEM (1, D+1) gap-cost prefix
-        hs_ref,  # VMEM (1, Bblk, Lp) skewed scores for diag d
-        lx_ref,  # VMEM (Bblk, 1) int32
-        ly_ref,  # VMEM (Bblk, 1) int32
-        score_ref,  # out VMEM (Bblk, 1) f32
-        len_ref,  # out (Bblk, 1) f32
-        ti_ref,  # out (Bblk, 1) int32
-        tj_ref,  # out (Bblk, 1) int32
-        tcode_ref,  # out (Bblk, 1) int32
-        tb_ref,  # out VMEM (1, Bblk, Lp) uint8 (dummy when not traceback)
-        # scratch:
-        m1, lm1, r1v, r1l, r1c, r2v, r2l, r2c, tval, tlen, tis, tjs, tcs,
-        ix1, iy1, lix1, liy1,  # (k, Bblk, Lp) stacks
-    ):
+    def prio(m, ixs, iys, lm=None, lixs=None, liys=None, codes=False):
+        """Best state with M > Ix(asc) > Iy(asc) tie preference."""
+        v = m
+        ln = lm
+        c = jnp.zeros((Bblk, Lp), jnp.int32) if codes else None
+        for l in range(k):
+            b = ixs[l] > v
+            v = jnp.where(b, ixs[l], v)
+            if ln is not None:
+                ln = jnp.where(b, lixs[l], ln)
+            if codes:
+                c = jnp.where(b, 1 + l, c)
+        for l in range(k):
+            b = iys[l] > v
+            v = jnp.where(b, iys[l], v)
+            if ln is not None:
+                ln = jnp.where(b, liys[l], ln)
+            if codes:
+                c = jnp.where(b, 1 + k + l, c)
+        return v, ln, c
+
+    def kernel(cum_ref, hs_ref, lx_ref, ly_ref,
+               score_ref, len_ref, ti_ref, tj_ref, tcode_ref, tb_ref, *scr):
+        S = dict(zip(names, scr))
         d = pl.program_id(1) + 2
         lane = jax.lax.broadcasted_iota(jnp.int32, (Bblk, Lp), 1)
         lx = lx_ref[:, :]  # (Bblk, 1)
         ly = ly_ref[:, :]
+        negs = jnp.full((Bblk, Lp), NEG, jnp.float32)
+        zeros = jnp.zeros((Bblk, Lp), jnp.float32)
 
         @pl.when(pl.program_id(1) == 0)
         def _init():
-            negs = jnp.full((Bblk, Lp), NEG, jnp.float32)
-            zeros = jnp.zeros((Bblk, Lp), jnp.float32)
-            m1[:, :] = jnp.where((lane == 0) | (lane == 1), border_m, negs)
-            lm1[:, :] = zeros
-            for l in range(k):
-                ix1[l] = negs
-                iy1[l] = negs
-                lix1[l] = zeros
-                liy1[l] = zeros
+            m1v = jnp.where((lane == 0) | (lane == 1), border_m, negs)
+            S["m1"][:, :] = m1v
+            ix0 = [negs] * k
+            iy0 = [negs] * k
+            lx0 = [zeros] * k
+            ly0 = [zeros] * k
             if not local:
                 bval = np.float32(0.0) if semi else -cum_ref[0, 1]
-                ix1[0] = jnp.where(lane == 1, bval, negs)
-                iy1[0] = jnp.where(lane == 0, bval, negs)
-                lix1[0] = jnp.where(lane == 1, 1.0, zeros)
-                liy1[0] = jnp.where(lane == 0, 1.0, zeros)
-            r2v[:, :] = jnp.where(lane == 0, 0.0, negs)
-            r2l[:, :] = zeros
-            r2c[:, :] = jnp.zeros((Bblk, Lp), jnp.int32)
-            # priority reduce of diag 1
-            v, ln, c = m1[:, :], lm1[:, :], jnp.zeros((Bblk, Lp), jnp.int32)
+                ix0[0] = jnp.where(lane == 1, bval, negs)
+                iy0[0] = jnp.where(lane == 0, bval, negs)
+                lx0[0] = jnp.where(lane == 1, 1.0, zeros)
+                ly0[0] = jnp.where(lane == 0, 1.0, zeros)
             for l in range(k):
-                b = ix1[l] > v
-                v = jnp.where(b, ix1[l], v)
-                ln = jnp.where(b, lix1[l], ln)
-                c = jnp.where(b, 1 + l, c)
-            for l in range(k):
-                b = iy1[l] > v
-                v = jnp.where(b, iy1[l], v)
-                ln = jnp.where(b, liy1[l], ln)
-                c = jnp.where(b, 1 + k + l, c)
-            r1v[:, :] = v
-            r1l[:, :] = ln
-            r1c[:, :] = c
+                S["ix1"][l] = ix0[l]
+                S["iy1"][l] = iy0[l]
+                if lengths:
+                    S["lix1"][l] = lx0[l]
+                    S["liy1"][l] = ly0[l]
+            S["r2v"][:, :] = jnp.where(lane == 0, 0.0, negs)
+            v, ln, c = prio(m1v, ix0, iy0,
+                            zeros if lengths else None,
+                            lx0 if lengths else None,
+                            ly0 if lengths else None,
+                            codes=traceback)
+            S["r1v"][:, :] = v
+            if lengths:
+                S["lm1"][:, :] = zeros
+                S["r2l"][:, :] = zeros
+                S["r1l"][:, :] = ln
+            if traceback:
+                S["r2c"][:, :] = jnp.zeros((Bblk, Lp), jnp.int32)
+                S["r1c"][:, :] = c
             # terminal trackers
-            tval[:, :] = jnp.full((Bblk, 1), NEG, jnp.float32)
-            tlen[:, :] = jnp.zeros((Bblk, 1), jnp.float32)
-            tis[:, :] = jnp.zeros((Bblk, 1), jnp.int32)
-            tjs[:, :] = jnp.zeros((Bblk, 1), jnp.int32)
-            tcs[:, :] = jnp.zeros((Bblk, 1), jnp.int32)
+            S["tval"][:, :] = jnp.full((Bblk, 1), NEG, jnp.float32)
+            S["tis"][:, :] = jnp.zeros((Bblk, 1), jnp.int32)
+            S["tjs"][:, :] = jnp.zeros((Bblk, 1), jnp.int32)
+            if lengths:
+                S["tlen"][:, :] = jnp.zeros((Bblk, 1), jnp.float32)
+            if traceback:
+                S["tcs"][:, :] = jnp.zeros((Bblk, 1), jnp.int32)
             if semi:
-                pick_y = ly == 1
-                tval[:, :] = jnp.where(pick_y, 0.0, tval[:, :])
-                tlen[:, :] = jnp.where(pick_y, 1.0, tlen[:, :])
-                tis[:, :] = jnp.where(pick_y, 0, tis[:, :])
-                tjs[:, :] = jnp.where(pick_y, 1, tjs[:, :])
-                tcs[:, :] = jnp.where(pick_y, 1 + k, tcs[:, :])
-                pick_x = lx == 1
-                tval[:, :] = jnp.where(pick_x, 0.0, tval[:, :])
-                tlen[:, :] = jnp.where(pick_x, 1.0, tlen[:, :])
-                tis[:, :] = jnp.where(pick_x, 1, tis[:, :])
-                tjs[:, :] = jnp.where(pick_x, 0, tjs[:, :])
-                tcs[:, :] = jnp.where(pick_x, 1, tcs[:, :])
+                for pickc, ci, cj, code in (
+                    (ly == 1, 0, 1, 1 + k),  # (0, 1): Iy cell
+                    (lx == 1, 1, 0, 1),  # (1, 0): Ix cell, larger i wins
+                ):
+                    S["tval"][:, :] = jnp.where(pickc, 0.0, S["tval"][:, :])
+                    S["tis"][:, :] = jnp.where(pickc, ci, S["tis"][:, :])
+                    S["tjs"][:, :] = jnp.where(pickc, cj, S["tjs"][:, :])
+                    if lengths:
+                        S["tlen"][:, :] = jnp.where(pickc, 1.0, S["tlen"][:, :])
+                    if traceback:
+                        S["tcs"][:, :] = jnp.where(pickc, code, S["tcs"][:, :])
 
         def shift_v(v):
             return jnp.where(lane == 0, NEG, pltpu.roll(v, 1, 1))
@@ -124,168 +153,184 @@ def _make_kernel(D, Bblk, Lp, k, gap_series, mode, traceback):
             return jnp.where(lane == 0, zero, pltpu.roll(v, 1, 1))
 
         hrow = hs_ref[0, :, :]
-        m1v, lm1v = m1[:, :], lm1[:, :]
-        m1s, lm1s = shift_v(m1v), shift_z(lm1v)
-        b2vs, b2ls, b2cs = shift_v(r2v[:, :]), shift_z(r2l[:, :]), shift_z(r2c[:, :])
+        m1v = S["m1"][:, :]
+        m1s = shift_v(m1v)
+        b2vs = shift_v(S["r2v"][:, :])
+        if lengths:
+            lm1v = S["lm1"][:, :]
+            lm1s = shift_z(lm1v)
+            b2ls = shift_z(S["r2l"][:, :])
+        if traceback:
+            b2cs = shift_z(S["r2c"][:, :])
 
+        ix1 = [S["ix1"][l] for l in range(k)]
+        iy1 = [S["iy1"][l] for l in range(k)]
+        if lengths:
+            lix1 = [S["lix1"][l] for l in range(k)]
+            liy1 = [S["liy1"][l] for l in range(k)]
         nix = [None] * k
         niy = [None] * k
         nlix = [None] * k
         nliy = [None] * k
         if k == 1:
-            ix1s, lix1s = shift_v(ix1[0]), shift_z(lix1[0])
+            ix1s = shift_v(ix1[0])
             stay_x = ix1s > m1s
             nix[0] = jnp.where(stay_x, ix1s, m1s) - g[0]
-            nlix[0] = jnp.where(stay_x, lix1s, lm1s) + 1.0
             stay_y = iy1[0] > m1v
             niy[0] = jnp.where(stay_y, iy1[0], m1v) - g[0]
-            nliy[0] = jnp.where(stay_y, liy1[0], lm1v) + 1.0
+            if lengths:
+                lix1s = shift_z(lix1[0])
+                nlix[0] = jnp.where(stay_x, lix1s, lm1s) + 1.0
+                nliy[0] = jnp.where(stay_y, liy1[0], lm1v) + 1.0
         else:
-            ix1sl = [shift_v(ix1[l]) for l in range(k)]
-            lix1sl = [shift_z(lix1[l]) for l in range(k)]
+            ix1sl = [shift_v(v) for v in ix1]
             nix[0] = m1s - g[0]
-            nlix[0] = lm1s + 1.0
             niy[0] = m1v - g[0]
-            nliy[0] = lm1v + 1.0
             for l in range(1, k - 1):
                 nix[l] = ix1sl[l - 1] - g[l]
-                nlix[l] = lix1sl[l - 1] + 1.0
                 niy[l] = iy1[l - 1] - g[l]
-                nliy[l] = liy1[l - 1] + 1.0
             stay_x = ix1sl[k - 1] > ix1sl[k - 2]
             nix[k - 1] = jnp.where(stay_x, ix1sl[k - 1], ix1sl[k - 2]) - g[k - 1]
-            nlix[k - 1] = jnp.where(stay_x, lix1sl[k - 1], lix1sl[k - 2]) + 1.0
             stay_y = iy1[k - 1] > iy1[k - 2]
             niy[k - 1] = jnp.where(stay_y, iy1[k - 1], iy1[k - 2]) - g[k - 1]
-            nliy[k - 1] = jnp.where(stay_y, liy1[k - 1], liy1[k - 2]) + 1.0
+            if lengths:
+                lix1sl = [shift_z(v) for v in lix1]
+                nlix[0] = lm1s + 1.0
+                nliy[0] = lm1v + 1.0
+                for l in range(1, k - 1):
+                    nlix[l] = lix1sl[l - 1] + 1.0
+                    nliy[l] = liy1[l - 1] + 1.0
+                nlix[k - 1] = jnp.where(stay_x, lix1sl[k - 1], lix1sl[k - 2]) + 1.0
+                nliy[k - 1] = jnp.where(stay_y, liy1[k - 1], liy1[k - 2]) + 1.0
 
         nm = hrow + b2vs
-        nlm = b2ls + 1.0
-        mcode = b2cs
+        nlm = (b2ls + 1.0) if lengths else None
+        mcode = b2cs if traceback else None
         if local:
             clamp = nm < 0.0
             nm = jnp.where(clamp, 0.0, nm)
-            mcode = jnp.where(clamp, PTR_NONE, mcode)
-            nlm = jnp.where(nm <= 0.0, 0.0, nlm)
+            if traceback:
+                mcode = jnp.where(clamp, PTR_NONE, mcode)
+            if lengths:
+                # length restarts at any zero-valued M cell (§8.3)
+                nlm = jnp.where(nm <= 0.0, 0.0, nlm)
 
         at0 = lane == 0
         atd = lane == d
         nm = jnp.where(at0 | atd, border_m, nm)
-        nlm = jnp.where(at0 | atd, 0.0, nlm)
+        if lengths:
+            nlm = jnp.where(at0 | atd, 0.0, nlm)
         lvl_d = jnp.minimum(d, k)
         d_f = d.astype(jnp.float32)
         for l in range(k):
             if local:
                 nix[l] = jnp.where(at0 | atd, NEG, nix[l])
                 niy[l] = jnp.where(at0 | atd, NEG, niy[l])
-                nlix[l] = jnp.where(at0 | atd, 0.0, nlix[l])
-                nliy[l] = jnp.where(at0 | atd, 0.0, nliy[l])
+                if lengths:
+                    nlix[l] = jnp.where(at0 | atd, 0.0, nlix[l])
+                    nliy[l] = jnp.where(at0 | atd, 0.0, nliy[l])
             else:
                 bx = np.float32(0.0) if semi else -cum_ref[0, d]
                 on_lvl = lvl_d == l + 1
                 nix[l] = jnp.where(atd, jnp.where(on_lvl, bx, NEG), jnp.where(at0, NEG, nix[l]))
                 niy[l] = jnp.where(at0, jnp.where(on_lvl, bx, NEG), jnp.where(atd, NEG, niy[l]))
-                nlix[l] = jnp.where(atd, d_f, jnp.where(at0, 0.0, nlix[l]))
-                nliy[l] = jnp.where(at0, d_f, jnp.where(atd, 0.0, nliy[l]))
+                if lengths:
+                    nlix[l] = jnp.where(atd, d_f, jnp.where(at0, 0.0, nlix[l]))
+                    nliy[l] = jnp.where(at0, d_f, jnp.where(atd, 0.0, nliy[l]))
 
-        # priority reduce of diag d
-        bv, bl, bc = nm, nlm, mcode * 0
-        bc = jnp.zeros((Bblk, Lp), jnp.int32)
-        v, ln, c = nm, nlm, bc
-        for l in range(k):
-            b = nix[l] > v
-            v = jnp.where(b, nix[l], v)
-            ln = jnp.where(b, nlix[l], ln)
-            c = jnp.where(b, 1 + l, c)
-        for l in range(k):
-            b = niy[l] > v
-            v = jnp.where(b, niy[l], v)
-            ln = jnp.where(b, nliy[l], ln)
-            c = jnp.where(b, 1 + k + l, c)
-        bv, bl, bc = v, ln, c
+        bv, bl, bc = prio(nm, nix, niy,
+                          nlm if lengths else None,
+                          nlix if lengths else None,
+                          nliy if lengths else None,
+                          codes=traceback)
 
         # ---- terminal tracking ----
         if mode == "global":
             pick = d == (lx + ly)  # (Bblk, 1)
             mask = lane == lx
-            tval[:, :] = jnp.where(pick, _pick(bv, mask, NEG), tval[:, :])
-            tlen[:, :] = jnp.where(pick, _pick(bl, mask, NEG), tlen[:, :])
-            tcs[:, :] = jnp.where(pick, _pick(bc, mask, -1), tcs[:, :])
-            tis[:, :] = jnp.where(pick, lx, tis[:, :])
-            tjs[:, :] = jnp.where(pick, ly, tjs[:, :])
+            S["tval"][:, :] = jnp.where(pick, _pick(bv, mask, NEG), S["tval"][:, :])
+            S["tis"][:, :] = jnp.where(pick, lx, S["tis"][:, :])
+            S["tjs"][:, :] = jnp.where(pick, ly, S["tjs"][:, :])
+            if lengths:
+                S["tlen"][:, :] = jnp.where(pick, _pick(bl, mask, NEG), S["tlen"][:, :])
+            if traceback:
+                S["tcs"][:, :] = jnp.where(pick, _pick(bc, mask, -1), S["tcs"][:, :])
         elif semi:
             for cand_i, cand_j in ((d - ly, ly), (lx, d - lx)):
                 ok = (cand_i >= 0) & (cand_i <= lx) & (cand_j >= 0) & (cand_j <= ly)
                 mask = lane == cand_i
                 cv = _pick(bv, mask, NEG)
-                cl = _pick(bl, mask, NEG)
-                cc = _pick(bc, mask, -1)
-                better = cv > tval[:, :]
-                tie = (cv == tval[:, :]) & (
-                    (cand_i > tis[:, :]) | ((cand_i == tis[:, :]) & (cand_j > tjs[:, :]))
+                better = cv > S["tval"][:, :]
+                tie = (cv == S["tval"][:, :]) & (
+                    (cand_i > S["tis"][:, :])
+                    | ((cand_i == S["tis"][:, :]) & (cand_j > S["tjs"][:, :]))
                 )
                 repl = ok & (better | tie)
-                tval[:, :] = jnp.where(repl, cv, tval[:, :])
-                tlen[:, :] = jnp.where(repl, cl, tlen[:, :])
-                tcs[:, :] = jnp.where(repl, cc, tcs[:, :])
-                tis[:, :] = jnp.where(repl, cand_i, tis[:, :])
-                tjs[:, :] = jnp.where(repl, cand_j, tjs[:, :])
+                S["tval"][:, :] = jnp.where(repl, cv, S["tval"][:, :])
+                S["tis"][:, :] = jnp.where(repl, cand_i, S["tis"][:, :])
+                S["tjs"][:, :] = jnp.where(repl, cand_j, S["tjs"][:, :])
+                if lengths:
+                    S["tlen"][:, :] = jnp.where(repl, _pick(bl, mask, NEG), S["tlen"][:, :])
+                if traceback:
+                    S["tcs"][:, :] = jnp.where(repl, _pick(bc, mask, -1), S["tcs"][:, :])
         else:  # local
             valid = (lane >= 1) & (lane <= lx) & (d - lane >= 1) & (d - lane <= ly)
             mv = jnp.where(valid, nm, NEG)
             step_best = jnp.max(mv, axis=1, keepdims=True)
-            # first-max lane (smallest i): min lane index among maxima
             ismax = mv == step_best
             big = jnp.int32(Lp)
             step_arg = jnp.min(jnp.where(ismax, lane, big), axis=1, keepdims=True)
-            step_len = _pick(nlm, lane == step_arg, NEG)
             cj = d - step_arg
-            better = step_best > tval[:, :]
-            tie = (step_best == tval[:, :]) & (
-                (step_arg < tis[:, :]) | ((step_arg == tis[:, :]) & (cj < tjs[:, :]))
+            better = step_best > S["tval"][:, :]
+            tie = (step_best == S["tval"][:, :]) & (
+                (step_arg < S["tis"][:, :])
+                | ((step_arg == S["tis"][:, :]) & (cj < S["tjs"][:, :]))
             )
             repl = better | tie
-            tval[:, :] = jnp.where(repl, step_best, tval[:, :])
-            tlen[:, :] = jnp.where(repl, step_len, tlen[:, :])
-            tis[:, :] = jnp.where(repl, step_arg, tis[:, :])
-            tjs[:, :] = jnp.where(repl, cj, tjs[:, :])
+            S["tval"][:, :] = jnp.where(repl, step_best, S["tval"][:, :])
+            S["tis"][:, :] = jnp.where(repl, step_arg, S["tis"][:, :])
+            S["tjs"][:, :] = jnp.where(repl, cj, S["tjs"][:, :])
+            if lengths:
+                step_len = _pick(nlm, lane == step_arg, NEG)
+                S["tlen"][:, :] = jnp.where(repl, step_len, S["tlen"][:, :])
+            # local terminals are M cells: tcs stays 0.
 
         # ---- write carries ----
-        m1[:, :] = nm
-        lm1[:, :] = nlm
+        S["m1"][:, :] = nm
         for l in range(k):
-            ix1[l] = nix[l]
-            iy1[l] = niy[l]
-            lix1[l] = nlix[l]
-            liy1[l] = nliy[l]
-        r2v[:, :] = r1v[:, :]
-        r2l[:, :] = r1l[:, :]
-        r2c[:, :] = r1c[:, :]
-        r1v[:, :] = bv
-        r1l[:, :] = bl
-        r1c[:, :] = bc
-
+            S["ix1"][l] = nix[l]
+            S["iy1"][l] = niy[l]
+            if lengths:
+                S["lix1"][l] = nlix[l]
+                S["liy1"][l] = nliy[l]
+        S["r2v"][:, :] = S["r1v"][:, :]
+        S["r1v"][:, :] = bv
+        if lengths:
+            S["lm1"][:, :] = nlm
+            S["r2l"][:, :] = S["r1l"][:, :]
+            S["r1l"][:, :] = bl
         if traceback:
+            S["r2c"][:, :] = S["r1c"][:, :]
+            S["r1c"][:, :] = bc
             # int32 arithmetic (Mosaic cannot legalize sub-word shifts),
             # narrowed to uint8 at the store.
             bits = mcode + stay_x.astype(jnp.int32) * 32 + stay_y.astype(jnp.int32) * 64
             tb_ref[0, :, :] = bits.astype(jnp.uint8)
-        # not traceback: tb_ref is a (D-2, 1, 1) dummy, left unwritten.
 
         @pl.when(pl.program_id(1) == D - 3)
         def _finish():
-            score_ref[:, :] = tval[:, :]
-            len_ref[:, :] = tlen[:, :]
-            ti_ref[:, :] = tis[:, :]
-            tj_ref[:, :] = tjs[:, :]
-            tcode_ref[:, :] = tcs[:, :]
+            score_ref[:, :] = S["tval"][:, :]
+            ti_ref[:, :] = S["tis"][:, :]
+            tj_ref[:, :] = S["tjs"][:, :]
+            len_ref[:, :] = S["tlen"][:, :] if lengths else jnp.zeros((Bblk, 1), jnp.float32)
+            tcode_ref[:, :] = S["tcs"][:, :] if traceback else jnp.zeros((Bblk, 1), jnp.int32)
 
     return kernel
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("gap_series", "mode", "traceback", "block_b", "interpret"),
+    static_argnames=("gap_series", "mode", "traceback", "lengths", "block_b", "interpret"),
 )
 def wavefront_dp_pallas(
     hs: jax.Array,  # f32[D, B, Lp]
@@ -294,17 +339,27 @@ def wavefront_dp_pallas(
     gap_series: tuple[int, ...] = (11, 1),
     mode: str = "global",
     traceback: bool = False,
-    block_b: int = 128,
+    lengths: bool | None = None,
+    block_b: int = 256,
     interpret: bool | None = None,
 ):
-    """Pallas TPU implementation of kernels.scan.wavefront_dp (same contract)."""
+    """Pallas TPU implementation of kernels.scan.wavefront_dp (same contract;
+    ``length``/``tcode`` outputs are zeros when the respective carries are
+    disabled — see module docstring)."""
     if interpret is None:  # trace-time: interpret off-TPU (CPU tests)
         interpret = jax.default_backend() != "tpu"
+    if lengths is None:
+        lengths = not traceback
     D, B, Lp = hs.shape
     k = len(gap_series)
-    # VMEM budget: (8 + 4k) full scratch rows + double-buffered hs in-blocks
-    # and tb out-blocks per problem row; keep the total under ~12 MB.
-    bytes_per_row = Lp * (4 * (10 + 4 * k) + 2)
+    # VMEM budget: full scratch rows + double-buffered hs in-blocks and tb
+    # out-blocks per problem row; keep the total under ~12 MB.
+    n_rows = 3 + 2 * k  # m1, r1v, r2v + ix/iy stacks
+    if lengths:
+        n_rows += 3 + 2 * k
+    if traceback:
+        n_rows += 2
+    bytes_per_row = Lp * (4 * (n_rows + 2) + (2 if traceback else 0))
     vmem_rows = max(8, int(12e6 // max(bytes_per_row, 1)))
     block_cap = 8
     while block_cap * 2 <= vmem_rows:
@@ -322,7 +377,7 @@ def wavefront_dp_pallas(
     lx2 = lx.astype(jnp.int32)[:, None]
     ly2 = ly.astype(jnp.int32)[:, None]
 
-    kernel = _make_kernel(D, Bblk, Lp, k, tuple(gap_series), mode, traceback)
+    kernel = _make_kernel(D, Bblk, Lp, k, tuple(gap_series), mode, lengths, traceback)
 
     f32 = jnp.float32
     i32 = jnp.int32
@@ -348,22 +403,20 @@ def wavefront_dp_pallas(
         bspec(),  # lx
         bspec(),  # ly
     ]
-    out_specs = (
-        bspec(),
-        bspec(),
-        bspec(),
-        bspec(),
-        bspec(),
-        tb_spec,
-    )
-    scratch = [pltpu.VMEM((Bblk, Lp), f32) for _ in range(2)]  # m1, lm1
-    scratch += [pltpu.VMEM((Bblk, Lp), f32) for _ in range(2)]  # r1v, r1l
-    scratch += [pltpu.VMEM((Bblk, Lp), i32)]  # r1c
-    scratch += [pltpu.VMEM((Bblk, Lp), f32) for _ in range(2)]  # r2v, r2l
-    scratch += [pltpu.VMEM((Bblk, Lp), i32)]  # r2c
-    scratch += [pltpu.VMEM((Bblk, 1), f32) for _ in range(2)]  # tval, tlen
-    scratch += [pltpu.VMEM((Bblk, 1), i32) for _ in range(3)]  # ti, tj, tcode
-    scratch += [pltpu.VMEM((k, Bblk, Lp), f32) for _ in range(4)]  # ix1, iy1, lix1, liy1
+    out_specs = (bspec(), bspec(), bspec(), bspec(), bspec(), tb_spec)
+
+    scratch = []
+    for name in _scratch_names(k, lengths, traceback):
+        if name in ("tval", "tlen"):
+            scratch.append(pltpu.VMEM((Bblk, 1), f32))
+        elif name in ("tis", "tjs", "tcs"):
+            scratch.append(pltpu.VMEM((Bblk, 1), i32))
+        elif name in ("ix1", "iy1", "lix1", "liy1"):
+            scratch.append(pltpu.VMEM((k, Bblk, Lp), f32))
+        elif name in ("r1c", "r2c"):
+            scratch.append(pltpu.VMEM((Bblk, Lp), i32))
+        else:
+            scratch.append(pltpu.VMEM((Bblk, Lp), f32))
 
     score, length, ti, tj, tcode, tb = pl.pallas_call(
         kernel,

@@ -29,11 +29,29 @@ def test_pallas_matches_scan(mode, gap_series):
     rng = np.random.default_rng(hash((mode, gap_series)) % 2**32)
     hs, lx, ly = make_case(rng, B=3, Lx=9, Ly=7)
     a = wavefront_dp(hs, lx, ly, gap_series=gap_series, mode=mode, traceback=True)
-    p = wavefront_dp_pallas(hs, lx, ly, gap_series=gap_series, mode=mode, traceback=True)
+    # lengths=True forced so the length output is comparable too.
+    p = wavefront_dp_pallas(
+        hs, lx, ly, gap_series=gap_series, mode=mode, traceback=True, lengths=True
+    )
     for key in ("score", "length", "ti", "tj", "tcode", "tb"):
         np.testing.assert_array_equal(
             np.asarray(a[key]), np.asarray(p[key]), err_msg=f"{mode} {gap_series} {key}"
         )
+
+
+@pytest.mark.parametrize("mode", ["global", "semiglobal", "local"])
+def test_pallas_gated_carries(mode):
+    """Scores mode (no code carries) and traceback mode (no length carries)
+    still agree with the full scan on everything they produce."""
+    rng = np.random.default_rng(hash(("gate", mode)) % 2**32)
+    hs, lx, ly = make_case(rng, B=4, Lx=8, Ly=8)
+    a = wavefront_dp(hs, lx, ly, gap_series=(11, 1), mode=mode, traceback=True)
+    scores_only = wavefront_dp_pallas(hs, lx, ly, gap_series=(11, 1), mode=mode)
+    for key in ("score", "length", "ti", "tj"):
+        np.testing.assert_array_equal(np.asarray(a[key]), np.asarray(scores_only[key]), key)
+    tb_mode = wavefront_dp_pallas(hs, lx, ly, gap_series=(11, 1), mode=mode, traceback=True)
+    for key in ("score", "ti", "tj", "tcode", "tb"):
+        np.testing.assert_array_equal(np.asarray(a[key]), np.asarray(tb_mode[key]), key)
 
 
 def test_pallas_batch_block_padding():

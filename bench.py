@@ -97,5 +97,118 @@ def bench(B: int = 512, L: int = 1023, iters: int = 8, backend: str = "auto") ->
     }
 
 
+def _random_family(n, L, seed=0):
+    import numpy as np
+
+    from praline_tpu import ALPHABET_AA
+    from praline_tpu.types import Sequence
+
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 20, size=L)
+    out = []
+    for i in range(n):
+        toks = base.copy()
+        for _ in range(int(rng.integers(L // 20, L // 5))):
+            toks[rng.integers(0, L)] = rng.integers(0, 20)
+        out.append(Sequence(f"s{i}", toks.astype(np.int32), ALPHABET_AA))
+    return out
+
+
+def _timed(fn):
+    t0 = time.perf_counter()
+    result = fn()
+    return result, time.perf_counter() - t0
+
+
+def bench_pairwise() -> dict:
+    """BASELINE config 1: one pairwise global affine BLOSUM62 alignment
+    (with traceback), batched path, wall-clock."""
+    from praline_tpu import builtin_score_matrix
+    from praline_tpu.kernels import align_pairs_batched
+
+    a, b = _random_family(2, 500)
+    m = builtin_score_matrix("blosum62")
+    pairs = [(a.one_hot_profile(), b.one_hot_profile())]
+    align_pairs_batched(pairs, m, (11, 1), "global", traceback=True)  # warmup
+    (res,), dt = _timed(
+        lambda: align_pairs_batched(pairs, m, (11, 1), "global", traceback=True)
+    )
+    return {"metric": "pairwise_global_wallclock", "value": dt, "unit": "s",
+            "vs_baseline": (500 * 500 / dt) / BASELINE_CELLS_PER_S}
+
+
+def bench_allpairs100() -> dict:
+    """BASELINE config 2: all-vs-all distance matrix on ~100 sequences."""
+    from praline_tpu import PralineConfig, builtin_score_matrix
+    from praline_tpu.msa import batched_all_pairs, batched_preprofiles
+
+    seqs = _random_family(100, 200)
+    m = builtin_score_matrix("blosum62")
+    cfg = PralineConfig()
+    pp = batched_preprofiles(seqs, m, cfg)
+    batched_all_pairs(pp[:8], m, cfg)  # warmup compile on the small bucket
+    (scores_lengths), dt = _timed(lambda: batched_all_pairs(pp, m, cfg))
+    cells = sum(
+        float(seqs[i].length) * seqs[j].length
+        for i in range(100)
+        for j in range(i + 1, 100)
+    )
+    return {"metric": "allpairs100_wallclock", "value": dt, "unit": "s",
+            "vs_baseline": (cells / dt) / BASELINE_CELLS_PER_S}
+
+
+def bench_msa(preprofile: str = "dummy") -> dict:
+    """BASELINE configs 3/4: full progressive MSA (config 4 with global
+    master-slave preprofiles)."""
+    from praline_tpu import PralineConfig, builtin_score_matrix
+    from praline_tpu.msa import msa_align
+
+    seqs = _random_family(60, 150)
+    m = builtin_score_matrix("blosum62")
+    cfg = PralineConfig(preprofile_mode=preprofile)
+    msa_align(seqs[:6], m, cfg)  # warmup compiles
+    aln, dt = _timed(lambda: msa_align(seqs, m, cfg))
+    name = "msa60_wallclock" if preprofile == "dummy" else "msa60_preprofile_wallclock"
+    # throughput ratio on the dominant all-pairs DP cells (lower bound on
+    # total work when preprofiles/merges also run)
+    n, L = len(seqs), 150
+    cells = n * (n - 1) / 2 * L * L
+    return {"metric": name, "value": dt, "unit": "s",
+            "vs_baseline": (cells / dt) / BASELINE_CELLS_PER_S}
+
+
+def bench_modes() -> dict:
+    """BASELINE config 5: local + semiglobal with custom gap penalties."""
+    from praline_tpu import builtin_score_matrix
+    from praline_tpu.kernels import align_pairs_batched
+
+    seqs = _random_family(64, 300, seed=7)
+    m = builtin_score_matrix("blosum62")
+    pairs = [(s.one_hot_profile(), t.one_hot_profile())
+             for s, t in zip(seqs[::2], seqs[1::2])]
+    for mode, gaps in (("local", (13, 7, 1)), ("semiglobal", (8, 2))):
+        align_pairs_batched(pairs, m, gaps, mode)  # warmup
+    _, dt = _timed(lambda: [
+        align_pairs_batched(pairs, m, (13, 7, 1), "local"),
+        align_pairs_batched(pairs, m, (8, 2), "semiglobal"),
+    ])
+    cells = 2 * sum(p.length * q.length for p, q in pairs)
+    return {"metric": "modes_custom_gaps_wallclock", "value": dt, "unit": "s",
+            "vs_baseline": (cells / dt) / BASELINE_CELLS_PER_S}
+
+
+CONFIGS = {
+    "cells": lambda: bench(),
+    "pairwise": bench_pairwise,
+    "allpairs100": bench_allpairs100,
+    "msa": bench_msa,
+    "preprofile": lambda: bench_msa("global"),
+    "modes": bench_modes,
+}
+
+
 if __name__ == "__main__":
-    print(json.dumps(bench()))
+    import sys
+
+    which = sys.argv[1] if len(sys.argv) > 1 else "cells"
+    print(json.dumps(CONFIGS[which]()))

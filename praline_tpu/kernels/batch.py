@@ -106,19 +106,26 @@ def align_pairs_batched(
             chunk = idxs[start : start + batch_pairs]
             pxs = [pairs[i][0] for i in chunk]
             pys = [pairs[i][1] for i in chunk]
+            # Pad the batch with trivial length-1 problems (results discarded
+            # below): to the next power of two (bounds the set of compiled
+            # shapes to log2(batch_pairs) variants per bucket), and to a
+            # multiple of the mesh's pair axis when sharded.
+            target = 1
+            while target < len(chunk):
+                target *= 2
+            target = min(target, batch_pairs)
             if mesh is not None:
-                # Pad the batch to a multiple of the mesh's pair axis with
-                # trivial length-1 problems (results discarded below).
                 n_dev = int(np.prod(mesh.devices.shape))
-                pad = (-len(chunk)) % n_dev
-                if pad:
-                    if dummy is None:
-                        A = matrix.alphabet.size
-                        one = np.zeros((1, A), np.float32)
-                        one[0, 0] = 1.0
-                        dummy = Profile(one, np.zeros(1, np.float32), matrix.alphabet)
-                    pxs = pxs + [dummy] * pad
-                    pys = pys + [dummy] * pad
+                target = target + (-target) % n_dev
+            pad = max(0, target - len(chunk))
+            if pad:
+                if dummy is None:
+                    A = matrix.alphabet.size
+                    one = np.zeros((1, A), np.float32)
+                    one[0, 0] = 1.0
+                    dummy = Profile(one, np.zeros(1, np.float32), matrix.alphabet)
+                pxs = pxs + [dummy] * pad
+                pys = pys + [dummy] * pad
             cx, inv_x = _pad_counts(pxs, bx)
             cy, inv_y = _pad_counts(pys, by)
             lx = np.array([p.length for p in pxs], dtype=np.int32)

@@ -91,33 +91,65 @@ def batched_preprofiles(
     return out
 
 
+# Pairs per resumable distance tile (SURVEY.md §6: the O(N^2) stage
+# checkpoints tile-by-tile as it completes).
+DISTANCE_TILE_PAIRS = 4096
+
+
 def batched_all_pairs(
     sequences: list[Sequence],
     matrix: ScoreMatrix,
     config: PralineConfig,
     mesh=None,
+    ckpt=None,
+    fault_hook=None,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """N x N (score, alignment-length) matrices via one batched dispatch."""
+    """N x N (score, alignment-length) matrices via batched dispatches.
+
+    The pair space is processed in tiles of :data:`DISTANCE_TILE_PAIRS`;
+    with a checkpoint each finished tile persists immediately, so a failure
+    mid-stage resumes from the last completed tile.  ``fault_hook(tile_id)``
+    is the §6 fault-injection seam: tests raise from it to simulate crashes.
+    """
     from ..kernels import align_pairs_batched
 
     n = len(sequences)
     profiles = [member_profile(s) for s in sequences]
     index = [(i, j) for i in range(n) for j in range(i + 1, n)]
-    results = align_pairs_batched(
-        [(profiles[i], profiles[j]) for i, j in index],
-        matrix,
-        config.gap_series,
-        config.distance_mode,
-        traceback=False,
-        **_batch_kwargs(config, mesh),
-    )
     scores = np.zeros((n, n), dtype=np.float64)
     lengths = np.zeros((n, n), dtype=np.int64)
     for i in range(n):
         lengths[i, i] = max(1, sequences[i].length)
-    for (i, j), r in zip(index, results):
-        scores[i, j] = scores[j, i] = r.score
-        lengths[i, j] = lengths[j, i] = int(r.length)
+
+    for t in range(0, max(1, len(index)), DISTANCE_TILE_PAIRS):
+        tile_id = t // DISTANCE_TILE_PAIRS
+        tile = index[t : t + DISTANCE_TILE_PAIRS]
+        if not tile:
+            break
+        loaded = ckpt.load_distance_tile(tile_id) if ckpt else None
+        if loaded is not None:
+            tile_scores, tile_lengths = loaded
+        else:
+            if fault_hook is not None:
+                fault_hook(tile_id)
+            results = align_pairs_batched(
+                [(profiles[i], profiles[j]) for i, j in tile],
+                matrix,
+                config.gap_series,
+                config.distance_mode,
+                traceback=False,
+                **_batch_kwargs(config, mesh),
+            )
+            tile_scores = np.array([r.score for r in results])
+            tile_lengths = np.array([r.length for r in results])
+            if ckpt:
+                ckpt.save_distance_tile(tile_id, tile_scores, tile_lengths)
+        for (i, j), s, ln in zip(tile, tile_scores, tile_lengths):
+            scores[i, j] = scores[j, i] = float(s)
+            lengths[i, j] = lengths[j, i] = int(ln)
+    if ckpt:
+        ckpt.save_distances(scores, lengths)
+        ckpt.clear_distance_tiles()
     return scores, lengths
 
 
@@ -197,11 +229,14 @@ def msa_align(
     config: PralineConfig | None = None,
     extra_slaves: dict[int, list[Sequence]] | None = None,
     mesh=None,
+    fault_hook=None,
 ) -> Alignment:
     """Full PRALINE-equivalent MSA (SURVEY.md C18), batched on device.
 
     ``config.backend``: ``"oracle"`` runs the pure NumPy reference pipeline;
     ``"xla"``/``"pallas"``/``"auto"`` run the batched kernel pipeline.
+    ``fault_hook`` is a test-only failure-injection seam for the distance
+    stage (SURVEY.md §6).
     """
     from ..util.checkpoint import Checkpoint, run_digest
     from ..util.metrics import METRICS
@@ -233,7 +268,9 @@ def msa_align(
     with METRICS.timed("all_pairs"):
         loaded = ckpt.load_distances() if ckpt else None
         if loaded is None:
-            scores, lengths = batched_all_pairs(seqs, matrix, config, mesh=mesh)
+            scores, lengths = batched_all_pairs(
+                seqs, matrix, config, mesh=mesh, ckpt=ckpt, fault_hook=fault_hook
+            )
             n = len(seqs)
             cells = sum(
                 float(seqs[i].length) * seqs[j].length

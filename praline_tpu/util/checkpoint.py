@@ -89,6 +89,29 @@ class Checkpoint:
         data = np.load(path)
         return data["scores"], data["lengths"]
 
+    # -- distance tiles (mid-stage resume; SURVEY.md §6 checkpoint row) ----
+    def save_distance_tile(
+        self, tile_id: int, scores: np.ndarray, lengths: np.ndarray
+    ) -> None:
+        """Persist one completed chunk of the O(N^2) stage.  Tiles write to
+        disjoint files, so completion order (and multi-host ownership) never
+        affects the merged matrix."""
+        tmp = self.dir / f".tile_{tile_id}.npz.tmp"
+        with open(tmp, "wb") as f:  # file handle: savez must not append .npz
+            np.savez_compressed(f, scores=scores, lengths=lengths)
+        tmp.replace(self.dir / f"tile_{tile_id}.npz")
+
+    def load_distance_tile(self, tile_id: int) -> tuple[np.ndarray, np.ndarray] | None:
+        path = self.dir / f"tile_{tile_id}.npz"
+        if not path.exists():
+            return None
+        data = np.load(path)
+        return data["scores"], data["lengths"]
+
+    def clear_distance_tiles(self) -> None:
+        for p in self.dir.glob("tile_*.npz"):
+            p.unlink()
+
     # -- guide tree -------------------------------------------------------
     def save_tree(self, tree: SequenceTree) -> None:
         (self.dir / "tree.json").write_text(

@@ -100,6 +100,47 @@ def align_pairs_batched(
 
     s_dev = jnp.asarray(matrix.as_f32())
 
+    # Host<->device pipelining (SURVEY.md §3.2 "PP" row): dispatches are
+    # enqueued asynchronously and unpacked later, so chunk k+1's transfer
+    # and compute overlap chunk k's host-side unpack/traceback.  Traceback
+    # outputs are O(L^2) bytes per problem, so in-flight depth is bounded.
+    in_flight: list = []
+    max_in_flight = 2 if traceback else 64
+
+    def drain(limit: int) -> None:
+        while len(in_flight) > limit:
+            _unpack(*in_flight.pop(0))
+
+    def _unpack(chunk, pxs, pys, lx, ly, out) -> None:
+        score = np.asarray(out["score"])
+        length = np.asarray(out["length"])
+        ti = np.asarray(out["ti"])
+        tj = np.asarray(out["tj"])
+        tcode = np.asarray(out["tcode"])
+        if mode == "semiglobal":
+            length = length + (lx - ti) + (ly - tj)
+        if traceback:
+            tb = np.asarray(out["tb"])  # (Dscan, B, Lp)
+            for b, idx in enumerate(chunk):
+                h = pair_score_matrix(pxs[b], pys[b], matrix)
+                results[idx] = replay_traceback(
+                    tb[:, b, :],
+                    h,
+                    float(score[b]),
+                    int(ti[b]),
+                    int(tj[b]),
+                    int(tcode[b]),
+                    int(lx[b]),
+                    int(ly[b]),
+                    tuple(gap_series),
+                    mode,
+                )
+        else:
+            for b, idx in enumerate(chunk):
+                results[idx] = PairResult(
+                    float(score[b]), float(length[b]), int(ti[b]), int(tj[b])
+                )
+
     dummy = None
     for (bx, by), idxs in sorted(groups.items()):
         for start in range(0, len(idxs), batch_pairs):
@@ -148,43 +189,53 @@ def align_pairs_batched(
                     traceback=traceback,
                 )
             else:
-                hs = skewed_pair_scores(
-                    jnp.asarray(cx), jnp.asarray(inv_x), jnp.asarray(cy), jnp.asarray(inv_y), s_dev
-                )
-                out = wavefront_dp(
-                    hs,
-                    jnp.asarray(lx),
-                    jnp.asarray(ly),
-                    gap_series=tuple(gap_series),
-                    mode=mode,
-                    traceback=traceback,
-                )
-            score = np.asarray(out["score"])
-            length = np.asarray(out["length"])
-            ti = np.asarray(out["ti"])
-            tj = np.asarray(out["tj"])
-            tcode = np.asarray(out["tcode"])
-            if mode == "semiglobal":
-                length = length + (lx - ti) + (ly - tj)
-            if traceback:
-                tb = np.asarray(out["tb"])  # (Dscan, B, Lp)
-                for b, idx in enumerate(chunk):
-                    h = pair_score_matrix(pxs[b], pys[b], matrix)
-                    results[idx] = replay_traceback(
-                        tb[:, b, :],
-                        h,
-                        float(score[b]),
-                        int(ti[b]),
-                        int(tj[b]),
-                        int(tcode[b]),
-                        int(lx[b]),
-                        int(ly[b]),
-                        tuple(gap_series),
-                        mode,
+                # Quantized scores (int8/int16 + in-kernel inv scaling) when
+                # the exact integer dot provably fits — 2-4x less HBM
+                # traffic through the skew stage, bit-identical results.
+                qd = None
+                if backend == "pallas":
+                    from .scores import quantized_dtype_for
+
+                    max_nx = max(float(p.counts.sum(axis=1).max(initial=0.0)) for p in pxs)
+                    max_ny = max(float(p.counts.sum(axis=1).max(initial=0.0)) for p in pys)
+                    max_s = float(np.abs(matrix.scores).max())
+                    qd = quantized_dtype_for(max_nx * max_ny * max_s)
+                if qd is not None:
+                    from .pallas_dp import wavefront_dp_pallas
+                    from .scores import skewed_pair_scores_quantized
+
+                    hs, invx_row, invy0, ys_invy = skewed_pair_scores_quantized(
+                        jnp.asarray(cx),
+                        jnp.asarray(inv_x),
+                        jnp.asarray(cy),
+                        jnp.asarray(inv_y),
+                        s_dev,
+                        qdtype=qd,
                     )
-            else:
-                for b, idx in enumerate(chunk):
-                    results[idx] = PairResult(
-                        float(score[b]), float(length[b]), int(ti[b]), int(tj[b])
+                    out = wavefront_dp_pallas(
+                        hs,
+                        jnp.asarray(lx),
+                        jnp.asarray(ly),
+                        gap_series=tuple(gap_series),
+                        mode=mode,
+                        traceback=traceback,
+                        invx_row=invx_row,
+                        invy0=invy0,
+                        ys_invy=ys_invy,
                     )
+                else:
+                    hs = skewed_pair_scores(
+                        jnp.asarray(cx), jnp.asarray(inv_x), jnp.asarray(cy), jnp.asarray(inv_y), s_dev
+                    )
+                    out = wavefront_dp(
+                        hs,
+                        jnp.asarray(lx),
+                        jnp.asarray(ly),
+                        gap_series=tuple(gap_series),
+                        mode=mode,
+                        traceback=traceback,
+                    )
+            in_flight.append((chunk, pxs, pys, lx, ly, out))
+            drain(max_in_flight)
+    drain(0)
     return results

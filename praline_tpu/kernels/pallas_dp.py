@@ -43,21 +43,23 @@ def _pick(v, mask, fill):
     return jnp.max(jnp.where(mask, v, fill), axis=1, keepdims=True)
 
 
-def _scratch_names(k: int, lengths: bool, traceback: bool) -> list[str]:
+def _scratch_names(k: int, lengths: bool, traceback: bool, quantized: bool = False) -> list[str]:
     names = ["m1", "r1v", "r2v", "tval", "tis", "tjs", "ix1", "iy1"]
     if lengths:
         names += ["lm1", "r1l", "r2l", "tlen", "lix1", "liy1"]
     if traceback:
         names += ["r1c", "r2c", "tcs"]
+    if quantized:
+        names += ["winvy"]
     return names
 
 
-def _make_kernel(D, Bblk, Lp, k, gap_series, mode, lengths, traceback):
+def _make_kernel(D, Bblk, Lp, k, gap_series, mode, lengths, traceback, quantized):
     g = [np.float32(x) for x in gap_series]
     local = mode == "local"
     semi = mode == "semiglobal"
     border_m = np.float32(0.0 if local else NEG)
-    names = _scratch_names(k, lengths, traceback)
+    names = _scratch_names(k, lengths, traceback, quantized)
 
     def prio(m, ixs, iys, lm=None, lixs=None, liys=None, codes=False):
         """Best state with M > Ix(asc) > Iy(asc) tie preference."""
@@ -80,8 +82,12 @@ def _make_kernel(D, Bblk, Lp, k, gap_series, mode, lengths, traceback):
                 c = jnp.where(b, 1 + k + l, c)
         return v, ln, c
 
-    def kernel(cum_ref, hs_ref, lx_ref, ly_ref,
-               score_ref, len_ref, ti_ref, tj_ref, tcode_ref, tb_ref, *scr):
+    def kernel(cum_ref, hs_ref, lx_ref, ly_ref, *rest):
+        if quantized:
+            invx_ref, invy0_ref, ys_ref = rest[:3]
+            rest = rest[3:]
+        (score_ref, len_ref, ti_ref, tj_ref, tcode_ref, tb_ref) = rest[:6]
+        scr = rest[6:]
         S = dict(zip(names, scr))
         d = pl.program_id(1) + 2
         lane = jax.lax.broadcasted_iota(jnp.int32, (Bblk, Lp), 1)
@@ -132,6 +138,8 @@ def _make_kernel(D, Bblk, Lp, k, gap_series, mode, lengths, traceback):
                 S["tlen"][:, :] = jnp.zeros((Bblk, 1), jnp.float32)
             if traceback:
                 S["tcs"][:, :] = jnp.zeros((Bblk, 1), jnp.int32)
+            if quantized:
+                S["winvy"][:, :] = jnp.where(lane == 0, invy0_ref[:, :], 1.0)
             if semi:
                 for pickc, ci, cj, code in (
                     (ly == 1, 0, 1, 1 + k),  # (0, 1): Iy cell
@@ -152,7 +160,15 @@ def _make_kernel(D, Bblk, Lp, k, gap_series, mode, lengths, traceback):
             zero = jnp.zeros((), v.dtype)
             return jnp.where(lane == 0, zero, pltpu.roll(v, 1, 1))
 
-        hrow = hs_ref[0, :, :]
+        if quantized:
+            # slide the inv_y diagonal window and apply the pinned
+            # (H_int * inv_x) * inv_y scaling in f32
+            inj = ys_ref[0, :, :]  # (Bblk, 1): inv_y[d - 1]
+            wn = jnp.where(lane == 0, inj, pltpu.roll(S["winvy"][:, :], 1, 1))
+            S["winvy"][:, :] = wn
+            hrow = (hs_ref[0, :, :].astype(jnp.float32) * invx_ref[:, :]) * wn
+        else:
+            hrow = hs_ref[0, :, :]
         m1v = S["m1"][:, :]
         m1s = shift_v(m1v)
         b2vs = shift_v(S["r2v"][:, :])
@@ -333,7 +349,7 @@ def _make_kernel(D, Bblk, Lp, k, gap_series, mode, lengths, traceback):
     static_argnames=("gap_series", "mode", "traceback", "lengths", "block_b", "interpret"),
 )
 def wavefront_dp_pallas(
-    hs: jax.Array,  # f32[D, B, Lp]
+    hs: jax.Array,  # f32[D, B, Lp], or int8/int16 in quantized mode
     lx: jax.Array,  # int32[B]
     ly: jax.Array,  # int32[B]
     gap_series: tuple[int, ...] = (11, 1),
@@ -342,6 +358,9 @@ def wavefront_dp_pallas(
     lengths: bool | None = None,
     block_b: int = 256,
     interpret: bool | None = None,
+    invx_row: jax.Array | None = None,  # f32[B, Lp] (quantized mode)
+    invy0: jax.Array | None = None,  # f32[B, 1]
+    ys_invy: jax.Array | None = None,  # f32[D-2, B, 1]
 ):
     """Pallas TPU implementation of kernels.scan.wavefront_dp (same contract;
     ``length``/``tcode`` outputs are zeros when the respective carries are
@@ -350,6 +369,9 @@ def wavefront_dp_pallas(
         interpret = jax.default_backend() != "tpu"
     if lengths is None:
         lengths = not traceback
+    quantized = hs.dtype != jnp.float32
+    if quantized and (invx_row is None or invy0 is None or ys_invy is None):
+        raise ValueError("quantized hs requires invx_row, invy0 and ys_invy")
     D, B, Lp = hs.shape
     k = len(gap_series)
     # VMEM budget: full scratch rows + double-buffered hs in-blocks and tb
@@ -359,8 +381,12 @@ def wavefront_dp_pallas(
         n_rows += 3 + 2 * k
     if traceback:
         n_rows += 2
-    bytes_per_row = Lp * (4 * (n_rows + 2) + (2 if traceback else 0))
-    vmem_rows = max(8, int(12e6 // max(bytes_per_row, 1)))
+    if quantized:
+        n_rows += 2  # winvy scratch + resident invx row
+    # +4 rows: double-buffered hs in-blocks and Mosaic's own overheads;
+    # 10 MB budget leaves headroom below the 16 MB scoped-vmem limit.
+    bytes_per_row = Lp * (4 * (n_rows + 4) + (2 if traceback else 0))
+    vmem_rows = max(8, int(10e6 // max(bytes_per_row, 1)))
     block_cap = 8
     while block_cap * 2 <= vmem_rows:
         block_cap *= 2
@@ -370,6 +396,10 @@ def wavefront_dp_pallas(
         hs = jnp.pad(hs, ((0, 0), (0, pad), (0, 0)))
         lx = jnp.pad(lx, (0, pad), constant_values=1)
         ly = jnp.pad(ly, (0, pad), constant_values=1)
+        if quantized:
+            invx_row = jnp.pad(invx_row, ((0, pad), (0, 0)), constant_values=1.0)
+            invy0 = jnp.pad(invy0, ((0, pad), (0, 0)), constant_values=1.0)
+            ys_invy = jnp.pad(ys_invy, ((0, 0), (0, pad), (0, 0)), constant_values=1.0)
     B_run = B + pad
     nb = B_run // Bblk
 
@@ -377,7 +407,7 @@ def wavefront_dp_pallas(
     lx2 = lx.astype(jnp.int32)[:, None]
     ly2 = ly.astype(jnp.int32)[:, None]
 
-    kernel = _make_kernel(D, Bblk, Lp, k, tuple(gap_series), mode, lengths, traceback)
+    kernel = _make_kernel(D, Bblk, Lp, k, tuple(gap_series), mode, lengths, traceback, quantized)
 
     f32 = jnp.float32
     i32 = jnp.int32
@@ -403,10 +433,18 @@ def wavefront_dp_pallas(
         bspec(),  # lx
         bspec(),  # ly
     ]
+    inputs = [cum, hs, lx2, ly2]
+    if quantized:
+        in_specs += [
+            pl.BlockSpec((Bblk, Lp), lambda b, d: (b, 0), memory_space=pltpu.VMEM),
+            bspec(),  # invy0
+            pl.BlockSpec((1, Bblk, 1), lambda b, d: (d, b, 0), memory_space=pltpu.VMEM),
+        ]
+        inputs += [invx_row, invy0, ys_invy]
     out_specs = (bspec(), bspec(), bspec(), bspec(), bspec(), tb_spec)
 
     scratch = []
-    for name in _scratch_names(k, lengths, traceback):
+    for name in _scratch_names(k, lengths, traceback, quantized):
         if name in ("tval", "tlen"):
             scratch.append(pltpu.VMEM((Bblk, 1), f32))
         elif name in ("tis", "tjs", "tcs"):
@@ -415,7 +453,7 @@ def wavefront_dp_pallas(
             scratch.append(pltpu.VMEM((k, Bblk, Lp), f32))
         elif name in ("r1c", "r2c"):
             scratch.append(pltpu.VMEM((Bblk, Lp), i32))
-        else:
+        else:  # m1, r1v, r2v, lm1, r1l, r2l, winvy
             scratch.append(pltpu.VMEM((Bblk, Lp), f32))
 
     score, length, ti, tj, tcode, tb = pl.pallas_call(
@@ -426,7 +464,7 @@ def wavefront_dp_pallas(
         out_shape=out_shape,
         scratch_shapes=scratch,
         interpret=bool(interpret),
-    )(cum, hs, lx2, ly2)
+    )(*inputs)
 
     out = {
         "score": score[:B, 0],

@@ -60,3 +60,52 @@ def test_pallas_batch_block_padding():
     a = wavefront_dp(hs, lx, ly, gap_series=(4, 1), mode="global")
     p = wavefront_dp_pallas(hs, lx, ly, gap_series=(4, 1), mode="global", block_b=8)
     np.testing.assert_array_equal(np.asarray(a["score"]), np.asarray(p["score"]))
+
+
+@pytest.mark.parametrize("qdtype", ["int8", "int16"])
+@pytest.mark.parametrize("mode", ["global", "semiglobal", "local"])
+def test_quantized_scores_bit_equal(mode, qdtype):
+    """int8/int16 skewed scores + in-kernel inv scaling == f32 path."""
+    from praline_tpu import ALPHABET_AA, builtin_score_matrix
+    from praline_tpu.kernels.scores import (
+        skewed_pair_scores,
+        skewed_pair_scores_quantized,
+    )
+    from praline_tpu.oracle.score import column_inverses
+    from praline_tpu.types import Profile
+
+    rng = np.random.default_rng(hash((mode, qdtype)) % 2**32)
+    B62 = builtin_score_matrix("blosum62")
+    B, Lx, Ly = 3, 10, 8
+    A = ALPHABET_AA.size
+    # Respect the quantization bound nx*ny*max|S| < dtype max: int8 needs
+    # one-hot-scale columns; int16 allows small multi-counts.
+    hi = 1 if qdtype == "int8" else 4
+    cx = np.zeros((B, Lx, A), np.float32)
+    cy = np.zeros((B, Ly, A), np.float32)
+    lx = rng.integers(2, Lx + 1, size=B).astype(np.int32)
+    ly = rng.integers(2, Ly + 1, size=B).astype(np.int32)
+    for b in range(B):
+        for pos in range(lx[b]):
+            cx[b, pos, rng.integers(0, A)] = rng.integers(1, hi + 1)
+        for pos in range(ly[b]):
+            cy[b, pos, rng.integers(0, A)] = rng.integers(1, hi + 1)
+    inv_x = np.where(cx.sum(-1) > 0, np.float32(1.0) / np.maximum(cx.sum(-1), 1), 1.0).astype(np.float32)
+    inv_y = np.where(cy.sum(-1) > 0, np.float32(1.0) / np.maximum(cy.sum(-1), 1), 1.0).astype(np.float32)
+    s = B62.as_f32()
+
+    hs_f = skewed_pair_scores(cx, inv_x, cy, inv_y, s)
+    a = wavefront_dp(hs_f, lx, ly, gap_series=(11, 1), mode=mode, traceback=True)
+
+    qd = jnp.int8 if qdtype == "int8" else jnp.int16
+    hs_q, invx_row, invy0, ys_invy = skewed_pair_scores_quantized(
+        cx, inv_x, cy, inv_y, s, qdtype=qd
+    )
+    p = wavefront_dp_pallas(
+        hs_q, lx, ly, gap_series=(11, 1), mode=mode, traceback=True, lengths=True,
+        invx_row=invx_row, invy0=invy0, ys_invy=ys_invy,
+    )
+    for key in ("score", "length", "ti", "tj", "tcode", "tb"):
+        np.testing.assert_array_equal(
+            np.asarray(a[key]), np.asarray(p[key]), err_msg=f"{mode} {qdtype} {key}"
+        )

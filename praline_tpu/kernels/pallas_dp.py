@@ -390,6 +390,12 @@ def wavefront_dp_pallas(
     block_cap = 8
     while block_cap * 2 <= vmem_rows:
         block_cap *= 2
+    if 8 * bytes_per_row > 14e6:
+        raise ValueError(
+            f"sequence bucket {Lp - 1} too long for the Pallas kernel's VMEM "
+            f"state (~{8 * bytes_per_row / 1e6:.0f} MB at the minimum batch "
+            f"block); use backend='xla' for sequences this long"
+        )
     Bblk = min(block_b, B, block_cap)
     pad = (-B) % Bblk
     if pad:  # pad with trivial length-1 problems; sliced off below

@@ -1,0 +1,67 @@
+"""Worker for the 2-process jax.distributed test (run via subprocess).
+
+Usage: mp_worker.py <process_id> <coordinator_port> <out_npz_for_rank0>
+"""
+
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+pid = int(sys.argv[1])
+port = sys.argv[2]
+out_path = sys.argv[3]
+
+jax.distributed.initialize(
+    coordinator_address=f"localhost:{port}", num_processes=2, process_id=pid
+)
+
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+from praline_tpu.dist.allpairs import sharded_wavefront_dp
+from praline_tpu.io import builtin_score_matrix
+from praline_tpu.types import ALPHABET_AA  # noqa: F401  (import sanity)
+
+B = 8
+rng = np.random.default_rng(0)
+A = 23
+cx = rng.integers(0, 2, size=(B, 15, A)).astype(np.float32)
+cx[:, :, 0] += 1
+cy = rng.integers(0, 2, size=(B, 13, A)).astype(np.float32)
+cy[:, :, 0] += 1
+inv_x = (np.float32(1.0) / np.maximum(cx.sum(-1), 1.0)).astype(np.float32)
+inv_y = (np.float32(1.0) / np.maximum(cy.sum(-1), 1.0)).astype(np.float32)
+lx = np.full((B,), 15, np.int32)
+ly = np.full((B,), 13, np.int32)
+s = builtin_score_matrix("blosum62").as_f32()
+
+mesh = Mesh(np.array(jax.devices()), ("pairs",))
+half = B // 2
+args = []
+for arr, spec in (
+    (cx, P("pairs")),
+    (inv_x, P("pairs")),
+    (cy, P("pairs")),
+    (inv_y, P("pairs")),
+    (s, P()),
+    (lx, P("pairs")),
+    (ly, P("pairs")),
+):
+    sharding = NamedSharding(mesh, spec)
+    local = arr if spec == P() else arr[pid * half : (pid + 1) * half]
+    args.append(jax.make_array_from_process_local_data(sharding, local, arr.shape))
+
+out = sharded_wavefront_dp(mesh, *args, gap_series=(11, 1), mode="global")
+scores = np.asarray(out["score"].addressable_shards[0].data).ravel()
+lengths = np.asarray(out["length"].addressable_shards[0].data).ravel()
+if pid == 0:
+    np.savez(out_path, scores=scores, lengths=lengths)
+print(f"[{pid}] OK", flush=True)

@@ -1,0 +1,67 @@
+"""Real multi-process jax.distributed execution on localhost (SURVEY.md
+§5.4): 2 processes x 2 CPU devices, pair space sharded across processes,
+terminals all-gathered over the (Gloo) cross-process backend."""
+
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from praline_tpu import ALPHABET_AA, builtin_score_matrix
+from praline_tpu.kernels import align_pairs_batched
+from praline_tpu.types import Profile
+
+WORKER = Path(__file__).parent / "mp_worker.py"
+
+
+def free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_sharded_allpairs(tmp_path):
+    port = free_port()
+    out = tmp_path / "rank0.npz"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(WORKER), str(pid), str(port), str(out)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for pid in (0, 1)
+    ]
+    logs = []
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=200)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("multi-process workers timed out")
+        logs.append(stdout)
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, log[-2000:]
+    data = np.load(out)
+
+    # Reference: the same problems through the single-process batched path.
+    rng = np.random.default_rng(0)
+    B, A = 8, ALPHABET_AA.size
+    cx = rng.integers(0, 2, size=(B, 15, A)).astype(np.float32)
+    cx[:, :, 0] += 1
+    cy = rng.integers(0, 2, size=(B, 13, A)).astype(np.float32)
+    cy[:, :, 0] += 1
+    pairs = [
+        (
+            Profile(cx[b], np.zeros(15, np.float32), ALPHABET_AA),
+            Profile(cy[b], np.zeros(13, np.float32), ALPHABET_AA),
+        )
+        for b in range(B)
+    ]
+    want = align_pairs_batched(pairs, builtin_score_matrix("blosum62"), (11, 1), "global")
+    np.testing.assert_array_equal(data["scores"], [w.score for w in want])
+    np.testing.assert_array_equal(data["lengths"], [w.length for w in want])

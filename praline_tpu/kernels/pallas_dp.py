@@ -162,11 +162,15 @@ def _make_kernel(D, Bblk, Lp, k, gap_series, mode, lengths, traceback, quantized
 
         if quantized:
             # slide the inv_y diagonal window and apply the pinned
-            # (H_int * inv_x) * inv_y scaling in f32
+            # (H_int * inv_x) * inv_y scaling in f32; the barrier stops the
+            # compiler from reassociating the two multiplies (observed to
+            # round differently in rare exact-integer cases)
             inj = ys_ref[0, :, :]  # (Bblk, 1): inv_y[d - 1]
             wn = jnp.where(lane == 0, inj, pltpu.roll(S["winvy"][:, :], 1, 1))
             S["winvy"][:, :] = wn
-            hrow = (hs_ref[0, :, :].astype(jnp.float32) * invx_ref[:, :]) * wn
+            hrow1 = hs_ref[0, :, :].astype(jnp.float32) * invx_ref[:, :]
+            hrow1 = jax.lax.optimization_barrier(hrow1)
+            hrow = hrow1 * wn
         else:
             hrow = hs_ref[0, :, :]
         m1v = S["m1"][:, :]

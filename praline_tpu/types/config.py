@@ -47,8 +47,10 @@ class PralineConfig:
     output_format: OutputFormat = "fasta"
     fasta_wrap: int = 60  # §8.6: wrap sequence lines at 60 chars
     # Batching / device knobs (TPU build only; no reference analog).
-    bucket_sizes: tuple[int, ...] = (64, 128, 256, 512, 1024, 2048)
-    batch_pairs: int = 32  # pairwise problems per batched DP dispatch
+    # Buckets are 2^n - 1 so diagonal vectors (length bucket+1) fill TPU
+    # lanes exactly.
+    bucket_sizes: tuple[int, ...] = (63, 127, 255, 511, 1023, 2047)
+    batch_pairs: int = 512  # pairwise problems per batched DP dispatch
     backend: Literal["auto", "oracle", "xla", "pallas"] = "auto"
     # Distribution (SURVEY.md §3.2): pair-space sharding over a device mesh.
     mesh_shape: tuple[int, ...] | None = None

@@ -64,28 +64,10 @@ def bench(B: int = 512, L: int = 1023, iters: int = 8, backend: str = "auto") ->
         total_cells_per_round += float((lx.astype(np.float64) * ly).sum())
         arg_sets.append(tuple(jnp.asarray(a) for a in (cx, inv_x, cy, inv_y, s, lx, ly)))
 
-    # Production path selection: quantized int8/int16 skewed scores when the
-    # exact integer dot fits (kernels.batch applies the same rule).
-    from praline_tpu.kernels.scores import (
-        quantized_dtype_for,
-        skewed_pair_scores_quantized,
-    )
-
-    max_n = float(arg_sets[0][0].sum(axis=-1).max())
-    max_s = float(np.abs(np.asarray(s)).max())
-    qd = quantized_dtype_for(max_n * max_n * max_s) if backend == "pallas" else None
-
     @jax.jit
     def run(cx, inv_x, cy, inv_y, s, lx, ly):
-        if qd is not None:
-            hs, invx_row, invy0, ys_invy = skewed_pair_scores_quantized(
-                cx, inv_x, cy, inv_y, s, qdtype=qd
-            )
-            out = dp(hs, lx, ly, gap_series=(11, 1), mode="global",
-                     invx_row=invx_row, invy0=invy0, ys_invy=ys_invy)
-        else:
-            hs = skewed_pair_scores(cx, inv_x, cy, inv_y, s)
-            out = dp(hs, lx, ly, gap_series=(11, 1), mode="global")
+        hs = skewed_pair_scores(cx, inv_x, cy, inv_y, s)
+        out = dp(hs, lx, ly, gap_series=(11, 1), mode="global")
         return out["score"], out["length"]
 
     # Warmup / compile.

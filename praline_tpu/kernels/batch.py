@@ -189,28 +189,25 @@ def align_pairs_batched(
                     traceback=traceback,
                 )
             else:
-                # Quantized scores (int8/int16 + in-kernel inv scaling) when
-                # the exact integer dot provably fits — 2-4x less HBM
-                # traffic through the skew stage, bit-identical results.
+                # Scale-free quantized scores (int8/int16) for one-hot
+                # profiles — all column inverses are exactly 1, so integer
+                # scores ship narrow with no in-kernel arithmetic: 2-4x
+                # less HBM traffic, bit-identical results.
                 qd = None
                 if backend == "pallas":
                     from .scores import quantized_dtype_for
 
                     max_nx = max(float(p.counts.sum(axis=1).max(initial=0.0)) for p in pxs)
                     max_ny = max(float(p.counts.sum(axis=1).max(initial=0.0)) for p in pys)
-                    max_s = float(np.abs(matrix.scores).max())
-                    qd = quantized_dtype_for(max_nx * max_ny * max_s)
+                    if max_nx <= 1.0 and max_ny <= 1.0:  # one-hot: inverses all 1
+                        max_s = float(np.abs(matrix.scores).max())
+                        qd = quantized_dtype_for(max_s)
                 if qd is not None:
                     from .pallas_dp import wavefront_dp_pallas
-                    from .scores import skewed_pair_scores_quantized
+                    from .scores import skewed_pair_scores_int
 
-                    hs, invx_row, invy0, ys_invy = skewed_pair_scores_quantized(
-                        jnp.asarray(cx),
-                        jnp.asarray(inv_x),
-                        jnp.asarray(cy),
-                        jnp.asarray(inv_y),
-                        s_dev,
-                        qdtype=qd,
+                    hs = skewed_pair_scores_int(
+                        jnp.asarray(cx), jnp.asarray(cy), s_dev, qdtype=qd
                     )
                     out = wavefront_dp_pallas(
                         hs,
@@ -219,9 +216,6 @@ def align_pairs_batched(
                         gap_series=tuple(gap_series),
                         mode=mode,
                         traceback=traceback,
-                        invx_row=invx_row,
-                        invy0=invy0,
-                        ys_invy=ys_invy,
                     )
                 else:
                     hs = skewed_pair_scores(

@@ -43,14 +43,12 @@ def _pick(v, mask, fill):
     return jnp.max(jnp.where(mask, v, fill), axis=1, keepdims=True)
 
 
-def _scratch_names(k: int, lengths: bool, traceback: bool, quantized: bool = False) -> list[str]:
+def _scratch_names(k: int, lengths: bool, traceback: bool) -> list[str]:
     names = ["m1", "r1v", "r2v", "tval", "tis", "tjs", "ix1", "iy1"]
     if lengths:
         names += ["lm1", "r1l", "r2l", "tlen", "lix1", "liy1"]
     if traceback:
         names += ["r1c", "r2c", "tcs"]
-    if quantized:
-        names += ["winvy"]
     return names
 
 
@@ -59,7 +57,7 @@ def _make_kernel(D, Bblk, Lp, k, gap_series, mode, lengths, traceback, quantized
     local = mode == "local"
     semi = mode == "semiglobal"
     border_m = np.float32(0.0 if local else NEG)
-    names = _scratch_names(k, lengths, traceback, quantized)
+    names = _scratch_names(k, lengths, traceback)
 
     def prio(m, ixs, iys, lm=None, lixs=None, liys=None, codes=False):
         """Best state with M > Ix(asc) > Iy(asc) tie preference."""
@@ -83,9 +81,6 @@ def _make_kernel(D, Bblk, Lp, k, gap_series, mode, lengths, traceback, quantized
         return v, ln, c
 
     def kernel(cum_ref, hs_ref, lx_ref, ly_ref, *rest):
-        if quantized:
-            invx_ref, invy0_ref, ys_ref = rest[:3]
-            rest = rest[3:]
         (score_ref, len_ref, ti_ref, tj_ref, tcode_ref, tb_ref) = rest[:6]
         scr = rest[6:]
         S = dict(zip(names, scr))
@@ -138,8 +133,6 @@ def _make_kernel(D, Bblk, Lp, k, gap_series, mode, lengths, traceback, quantized
                 S["tlen"][:, :] = jnp.zeros((Bblk, 1), jnp.float32)
             if traceback:
                 S["tcs"][:, :] = jnp.zeros((Bblk, 1), jnp.int32)
-            if quantized:
-                S["winvy"][:, :] = jnp.where(lane == 0, invy0_ref[:, :], 1.0)
             if semi:
                 for pickc, ci, cj, code in (
                     (ly == 1, 0, 1, 1 + k),  # (0, 1): Iy cell
@@ -161,16 +154,10 @@ def _make_kernel(D, Bblk, Lp, k, gap_series, mode, lengths, traceback, quantized
             return jnp.where(lane == 0, zero, pltpu.roll(v, 1, 1))
 
         if quantized:
-            # slide the inv_y diagonal window and apply the pinned
-            # (H_int * inv_x) * inv_y scaling in f32; the barrier stops the
-            # compiler from reassociating the two multiplies (observed to
-            # round differently in rare exact-integer cases)
-            inj = ys_ref[0, :, :]  # (Bblk, 1): inv_y[d - 1]
-            wn = jnp.where(lane == 0, inj, pltpu.roll(S["winvy"][:, :], 1, 1))
-            S["winvy"][:, :] = wn
-            hrow1 = hs_ref[0, :, :].astype(jnp.float32) * invx_ref[:, :]
-            hrow1 = jax.lax.optimization_barrier(hrow1)
-            hrow = hrow1 * wn
+            # integer scores shipped narrow; all column inverses are exactly
+            # 1 in this mode (one-hot profiles), so the cast IS the score —
+            # no multiplies, no excess-precision hazard
+            hrow = hs_ref[0, :, :].astype(jnp.float32)
         else:
             hrow = hs_ref[0, :, :]
         m1v = S["m1"][:, :]
@@ -362,9 +349,6 @@ def wavefront_dp_pallas(
     lengths: bool | None = None,
     block_b: int = 256,
     interpret: bool | None = None,
-    invx_row: jax.Array | None = None,  # f32[B, Lp] (quantized mode)
-    invy0: jax.Array | None = None,  # f32[B, 1]
-    ys_invy: jax.Array | None = None,  # f32[D-2, B, 1]
 ):
     """Pallas TPU implementation of kernels.scan.wavefront_dp (same contract;
     ``length``/``tcode`` outputs are zeros when the respective carries are
@@ -374,8 +358,6 @@ def wavefront_dp_pallas(
     if lengths is None:
         lengths = not traceback
     quantized = hs.dtype != jnp.float32
-    if quantized and (invx_row is None or invy0 is None or ys_invy is None):
-        raise ValueError("quantized hs requires invx_row, invy0 and ys_invy")
     D, B, Lp = hs.shape
     k = len(gap_series)
     # VMEM budget: full scratch rows + double-buffered hs in-blocks and tb
@@ -385,8 +367,6 @@ def wavefront_dp_pallas(
         n_rows += 3 + 2 * k
     if traceback:
         n_rows += 2
-    if quantized:
-        n_rows += 2  # winvy scratch + resident invx row
     # +4 rows: double-buffered hs in-blocks and Mosaic's own overheads;
     # 10 MB budget leaves headroom below the 16 MB scoped-vmem limit.
     bytes_per_row = Lp * (4 * (n_rows + 4) + (2 if traceback else 0))
@@ -406,10 +386,6 @@ def wavefront_dp_pallas(
         hs = jnp.pad(hs, ((0, 0), (0, pad), (0, 0)))
         lx = jnp.pad(lx, (0, pad), constant_values=1)
         ly = jnp.pad(ly, (0, pad), constant_values=1)
-        if quantized:
-            invx_row = jnp.pad(invx_row, ((0, pad), (0, 0)), constant_values=1.0)
-            invy0 = jnp.pad(invy0, ((0, pad), (0, 0)), constant_values=1.0)
-            ys_invy = jnp.pad(ys_invy, ((0, 0), (0, pad), (0, 0)), constant_values=1.0)
     B_run = B + pad
     nb = B_run // Bblk
 
@@ -444,17 +420,10 @@ def wavefront_dp_pallas(
         bspec(),  # ly
     ]
     inputs = [cum, hs, lx2, ly2]
-    if quantized:
-        in_specs += [
-            pl.BlockSpec((Bblk, Lp), lambda b, d: (b, 0), memory_space=pltpu.VMEM),
-            bspec(),  # invy0
-            pl.BlockSpec((1, Bblk, 1), lambda b, d: (d, b, 0), memory_space=pltpu.VMEM),
-        ]
-        inputs += [invx_row, invy0, ys_invy]
     out_specs = (bspec(), bspec(), bspec(), bspec(), bspec(), tb_spec)
 
     scratch = []
-    for name in _scratch_names(k, lengths, traceback, quantized):
+    for name in _scratch_names(k, lengths, traceback):
         if name in ("tval", "tlen"):
             scratch.append(pltpu.VMEM((Bblk, 1), f32))
         elif name in ("tis", "tjs", "tcs"):
@@ -463,7 +432,7 @@ def wavefront_dp_pallas(
             scratch.append(pltpu.VMEM((k, Bblk, Lp), f32))
         elif name in ("r1c", "r2c"):
             scratch.append(pltpu.VMEM((Bblk, Lp), i32))
-        else:  # m1, r1v, r2v, lm1, r1l, r2l, winvy
+        else:  # m1, r1v, r2v, lm1, r1l, r2l
             scratch.append(pltpu.VMEM((Bblk, Lp), f32))
 
     score, length, ti, tj, tcode, tb = pl.pallas_call(

@@ -57,22 +57,19 @@ def skewed_pair_scores(
 
 
 @functools.partial(jax.jit, static_argnames=("qdtype",))
-def skewed_pair_scores_quantized(
-    cx: jax.Array,  # f32[B, Lx, A] integer-valued counts
-    inv_x: jax.Array,  # f32[B, Lx]
+def skewed_pair_scores_int(
+    cx: jax.Array,  # f32[B, Lx, A] ONE-HOT counts (column totals <= 1)
     cy: jax.Array,  # f32[B, Ly, A]
-    inv_y: jax.Array,  # f32[B, Ly]
     s: jax.Array,  # f32[A, A]
-    qdtype=jnp.int16,
+    qdtype=jnp.int8,
 ):
-    """Compressed variant: the integer dot ``H_int`` is exact and bounded, so
-    when ``max_nx * max_ny * max|S|`` fits the target integer dtype the
-    skewed scores ship as int16/int8 (2-4x less HBM traffic than f32) and
-    the wavefront kernel applies the pinned ``(H_int * inv_x) * inv_y``
-    scaling itself from per-lane ``inv_x`` and a sliding ``inv_y`` window.
-
-    Returns ``(hs_q[D, B, Lp], invx_row[B, Lp], invy0[B, 1],
-    ys_invy[D-2, B, 1])``; bit-exact scores relative to the f32 path.
+    """Scale-free compressed variant for one-hot profiles (seq-seq and
+    dummy-preprofile alignment): every column inverse is exactly 1, so the
+    integer dot IS the score and the skewed tensor ships as int8/int16 —
+    2-4x less HBM traffic, bit-identical results, and no in-kernel
+    arithmetic whose rounding a compiler could alter (the f32 path's
+    (H*invx)*invy multiplies are FMA/reassociation bait; here there are
+    none).  The caller must guarantee the one-hot property.
     """
     B, Lx, A = cx.shape
     Ly = cy.shape[1]
@@ -90,19 +87,7 @@ def skewed_pair_scores_quantized(
     j_g = jnp.clip(j_idx, 0, Ly - 1)
     hs = h_q[:, i_g, j_g]
     hs = jnp.where(valid[None], hs, jnp.zeros((), qdtype))
-    hs = jnp.transpose(hs, (1, 0, 2))
-
-    invx_row = jnp.concatenate(
-        [jnp.ones((B, 1), jnp.float32), inv_x], axis=1
-    )  # lane i <-> x position i-1
-    invy0 = inv_y[:, :1]
-    # step d = d' + 2 injects inv_y[d - 1] at lane 0
-    dj = jnp.arange(1, D - 1, dtype=jnp.int32)
-    inj = jnp.where(
-        (dj[None, :] < Ly), inv_y[:, jnp.clip(dj, 0, Ly - 1)], 1.0
-    )
-    ys_invy = jnp.transpose(inj, (1, 0))[:, :, None]
-    return hs, invx_row, invy0, ys_invy
+    return jnp.transpose(hs, (1, 0, 2))
 
 
 def quantized_dtype_for(max_abs_int: float):

@@ -13,7 +13,7 @@ import shutil
 import subprocess
 import tempfile
 from pathlib import Path
-from typing import Callable, Protocol
+from typing import Callable
 
 from ..types import Sequence
 from ..util.metrics import log

@@ -7,6 +7,8 @@ tie-breaks interact, using the fast native kernel as the reference.
 
 import shutil
 
+import zlib
+
 import numpy as np
 import pytest
 
@@ -25,7 +27,7 @@ B62 = builtin_score_matrix("blosum62")
 def test_fuzz_scan_vs_native(mode, gap_series):
     from praline_tpu.native import native_align_scores
 
-    rng = np.random.default_rng(hash(("fuzz", mode, gap_series)) % 2**32)
+    rng = np.random.default_rng(zlib.crc32(repr(("fuzz", mode, gap_series)).encode()))
     pairs = []
     for _ in range(6):
         lx = int(rng.integers(50, 400))

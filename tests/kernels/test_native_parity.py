@@ -3,6 +3,8 @@ oracle <-> C++ <-> XLA <-> Pallas parity square)."""
 
 import shutil
 
+import zlib
+
 import numpy as np
 import pytest
 
@@ -16,7 +18,7 @@ pytestmark = pytest.mark.skipif(shutil.which("g++") is None, reason="needs g++")
 def test_native_matches_oracle(mode, gap_series):
     from praline_tpu.native import native_align_scores
 
-    rng = np.random.default_rng(hash((mode, gap_series)) % 2**32)
+    rng = np.random.default_rng(zlib.crc32(repr((mode, gap_series)).encode()))
     for _ in range(40):
         L1 = int(rng.integers(1, 30))
         L2 = int(rng.integers(1, 30))

@@ -1,6 +1,8 @@
 """Pallas kernel == XLA scan parity (interpret mode on CPU; the same cases
 run compiled on a real TPU chip via the verify flow)."""
 
+import zlib
+
 import numpy as np
 import pytest
 
@@ -26,7 +28,7 @@ def make_case(rng, B, Lx, Ly):
 @pytest.mark.parametrize("mode", ["global", "semiglobal", "local"])
 @pytest.mark.parametrize("gap_series", [(11, 1), (3,), (5, 3, 1)])
 def test_pallas_matches_scan(mode, gap_series):
-    rng = np.random.default_rng(hash((mode, gap_series)) % 2**32)
+    rng = np.random.default_rng(zlib.crc32(repr((mode, gap_series)).encode()))
     hs, lx, ly = make_case(rng, B=3, Lx=9, Ly=7)
     a = wavefront_dp(hs, lx, ly, gap_series=gap_series, mode=mode, traceback=True)
     # lengths=True forced so the length output is comparable too.
@@ -43,7 +45,7 @@ def test_pallas_matches_scan(mode, gap_series):
 def test_pallas_gated_carries(mode):
     """Scores mode (no code carries) and traceback mode (no length carries)
     still agree with the full scan on everything they produce."""
-    rng = np.random.default_rng(hash(("gate", mode)) % 2**32)
+    rng = np.random.default_rng(zlib.crc32(repr(("gate", mode)).encode()))
     hs, lx, ly = make_case(rng, B=4, Lx=8, Ly=8)
     a = wavefront_dp(hs, lx, ly, gap_series=(11, 1), mode=mode, traceback=True)
     scores_only = wavefront_dp_pallas(hs, lx, ly, gap_series=(11, 1), mode=mode)
@@ -65,45 +67,37 @@ def test_pallas_batch_block_padding():
 @pytest.mark.parametrize("qdtype", ["int8", "int16"])
 @pytest.mark.parametrize("mode", ["global", "semiglobal", "local"])
 def test_quantized_scores_bit_equal(mode, qdtype):
-    """int8/int16 skewed scores + in-kernel inv scaling == f32 path."""
+    """Scale-free int8/int16 skewed scores (one-hot profiles) == f32 path."""
+    import zlib
+
     from praline_tpu import ALPHABET_AA, builtin_score_matrix
     from praline_tpu.kernels.scores import (
         skewed_pair_scores,
-        skewed_pair_scores_quantized,
+        skewed_pair_scores_int,
     )
-    from praline_tpu.oracle.score import column_inverses
-    from praline_tpu.types import Profile
 
-    rng = np.random.default_rng(hash((mode, qdtype)) % 2**32)
+    rng = np.random.default_rng(zlib.crc32(repr((mode, qdtype)).encode()))
     B62 = builtin_score_matrix("blosum62")
-    B, Lx, Ly = 3, 10, 8
+    B, Lx, Ly = 4, 12, 10
     A = ALPHABET_AA.size
-    # Respect the quantization bound nx*ny*max|S| < dtype max: int8 needs
-    # one-hot-scale columns; int16 allows small multi-counts.
-    hi = 1 if qdtype == "int8" else 4
     cx = np.zeros((B, Lx, A), np.float32)
     cy = np.zeros((B, Ly, A), np.float32)
     lx = rng.integers(2, Lx + 1, size=B).astype(np.int32)
     ly = rng.integers(2, Ly + 1, size=B).astype(np.int32)
     for b in range(B):
-        for pos in range(lx[b]):
-            cx[b, pos, rng.integers(0, A)] = rng.integers(1, hi + 1)
-        for pos in range(ly[b]):
-            cy[b, pos, rng.integers(0, A)] = rng.integers(1, hi + 1)
-    inv_x = np.where(cx.sum(-1) > 0, np.float32(1.0) / np.maximum(cx.sum(-1), 1), 1.0).astype(np.float32)
-    inv_y = np.where(cy.sum(-1) > 0, np.float32(1.0) / np.maximum(cy.sum(-1), 1), 1.0).astype(np.float32)
+        cx[b, np.arange(lx[b]), rng.integers(0, 20, size=lx[b])] = 1.0
+        cy[b, np.arange(ly[b]), rng.integers(0, 20, size=ly[b])] = 1.0
+    ones_x = np.ones((B, Lx), np.float32)
+    ones_y = np.ones((B, Ly), np.float32)
     s = B62.as_f32()
 
-    hs_f = skewed_pair_scores(cx, inv_x, cy, inv_y, s)
+    hs_f = skewed_pair_scores(cx, ones_x, cy, ones_y, s)
     a = wavefront_dp(hs_f, lx, ly, gap_series=(11, 1), mode=mode, traceback=True)
 
     qd = jnp.int8 if qdtype == "int8" else jnp.int16
-    hs_q, invx_row, invy0, ys_invy = skewed_pair_scores_quantized(
-        cx, inv_x, cy, inv_y, s, qdtype=qd
-    )
+    hs_q = skewed_pair_scores_int(cx, cy, s, qdtype=qd)
     p = wavefront_dp_pallas(
-        hs_q, lx, ly, gap_series=(11, 1), mode=mode, traceback=True, lengths=True,
-        invx_row=invx_row, invy0=invy0, ys_invy=ys_invy,
+        hs_q, lx, ly, gap_series=(11, 1), mode=mode, traceback=True, lengths=True
     )
     for key in ("score", "length", "ti", "tj", "tcode", "tb"):
         np.testing.assert_array_equal(

@@ -2,6 +2,8 @@
 traceback-path equality across modes x gap series x ragged lengths x
 padding buckets, batched."""
 
+import zlib
+
 import numpy as np
 import pytest
 
@@ -42,7 +44,7 @@ def make_pairs(rng, n, lmin=1, lmax=40, profiles=False):
 @pytest.mark.parametrize("mode", MODES)
 @pytest.mark.parametrize("gap_series", SERIES)
 def test_scores_and_lengths_match_oracle(mode, gap_series):
-    rng = np.random.default_rng(hash((mode, gap_series)) % 2**32)
+    rng = np.random.default_rng(zlib.crc32(repr((mode, gap_series)).encode()))
     pairs = make_pairs(rng, 12) + make_pairs(rng, 6, profiles=True)
     got = align_pairs_batched(
         pairs, B62, gap_series, mode, bucket_sizes=(15, 31, 63), batch_pairs=5
@@ -56,7 +58,7 @@ def test_scores_and_lengths_match_oracle(mode, gap_series):
 @pytest.mark.parametrize("mode", MODES)
 @pytest.mark.parametrize("gap_series", [(11, 1), (5, 3, 1)])
 def test_traceback_paths_match_oracle(mode, gap_series):
-    rng = np.random.default_rng(hash(("tb", mode, gap_series)) % 2**32)
+    rng = np.random.default_rng(zlib.crc32(repr(("tb", mode, gap_series)).encode()))
     pairs = make_pairs(rng, 8) + make_pairs(rng, 4, profiles=True)
     got = align_pairs_batched(
         pairs,

@@ -1,6 +1,8 @@
 """Oracle DP == exhaustive path enumeration on tiny random cases
 (SURVEY.md §5.1)."""
 
+import zlib
+
 import numpy as np
 import pytest
 
@@ -23,7 +25,7 @@ def random_case(rng, L1, L2):
     ("local", brute_local),
 ])
 def test_dp_matches_bruteforce(mode, brute, gap_series):
-    rng = np.random.default_rng(hash((mode, gap_series)) % (2**32))
+    rng = np.random.default_rng(zlib.crc32(repr((mode, gap_series)).encode()))
     for trial in range(30):
         L1 = int(rng.integers(1, 6))
         L2 = int(rng.integers(1, 6))

@@ -78,6 +78,11 @@ def batched_preprofiles(
     results: list[AlignResult] = align_pairs_batched(
         pairs, matrix, gap_series, mode, traceback=True, **_batch_kwargs(config, mesh)
     )
+    from ..util.metrics import METRICS
+
+    METRICS.add_pairs(
+        "preprofiles", len(pairs), sum(float(a.length) * b.length for a, b in pairs)
+    )
 
     rows_per_master: dict[int, list[np.ndarray]] = {i: [] for i in range(len(sequences))}
     toks_per_master: dict[int, list[np.ndarray]] = {i: [] for i in range(len(sequences))}
@@ -196,6 +201,11 @@ def batched_progressive_merge(
             config.merge_mode,
             traceback=True,
             **_batch_kwargs(config, mesh),
+        )
+        from ..util.metrics import METRICS
+
+        METRICS.add_pairs(
+            "merge", len(pairs), sum(float(a.length) * b.length for a, b in pairs)
         )
         for k, res in zip(level, results):
             l, r = tree.joins[k]

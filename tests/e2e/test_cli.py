@@ -93,3 +93,15 @@ def test_cli_dna(tmp_path):
     rc = main([str(f), str(out), "-a", "dna", "-m", "dna_simple", "-g", "8,2"])
     assert rc == 0
     assert out.read_text().count(">") == 2
+
+
+def test_cli_devices_mesh(in_fasta, tmp_path):
+    import jax
+
+    n = min(4, len(jax.devices()))
+    out = tmp_path / "mesh.fasta"
+    rc = main([str(in_fasta), str(out), "--devices", str(n), "--backend", "xla"])
+    assert rc == 0
+    ref = tmp_path / "ref.fasta"
+    assert main([str(in_fasta), str(ref), "--backend", "xla"]) == 0
+    assert out.read_text() == ref.read_text()

@@ -13,6 +13,7 @@ Usage:  praline-tpu input.fasta output.aln [options]
 from __future__ import annotations
 
 import argparse
+from pathlib import Path
 import sys
 import time
 
@@ -108,6 +109,21 @@ def main(argv: list[str] | None = None) -> int:
     from ..util.metrics import METRICS, configure_logging, enable_profiling, log
 
     configure_logging(args.verbose, json_lines=args.log_json)
+
+    # Persistent XLA compilation cache: kernel shapes recur across runs.
+    try:
+        import tempfile
+
+        import jax
+
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            str(Path(tempfile.gettempdir()) / "praline_jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:  # cache is an optimization, never fatal
+        pass
     if args.profile_dir:
         enable_profiling(args.profile_dir)
 

@@ -146,7 +146,8 @@ def bench_allpairs100() -> dict:
     m = builtin_score_matrix("blosum62")
     cfg = PralineConfig()
     pp = batched_preprofiles(seqs, m, cfg)
-    batched_all_pairs(pp[:8], m, cfg)  # warmup compile on the small bucket
+    # warmup covers the full batch shape (33*32/2 = 528 pairs > batch_pairs)
+    batched_all_pairs(pp[:33], m, cfg)
     (scores_lengths), dt = _timed(lambda: batched_all_pairs(pp, m, cfg))
     cells = sum(
         float(seqs[i].length) * seqs[j].length

@@ -148,13 +148,17 @@ def align_pairs_batched(
             pxs = [pairs[i][0] for i in chunk]
             pys = [pairs[i][1] for i in chunk]
             # Pad the batch with trivial length-1 problems (results discarded
-            # below): to the next power of two (bounds the set of compiled
-            # shapes to log2(batch_pairs) variants per bucket), and to a
-            # multiple of the mesh's pair axis when sharded.
-            target = 1
+            # below): to {32, 128, 512, ...} (powers of four with a floor of
+            # 32), bounding compiled-shape variants to ~3 per bucket — each
+            # new executable costs seconds of upload/init on remote
+            # runtimes, which dominates small-MSA wall clock.  Also round to
+            # a multiple of the mesh's pair axis when sharded.
+            target = 32
             while target < len(chunk):
-                target *= 2
+                target *= 4
             target = min(target, batch_pairs)
+            if target < len(chunk):  # batch_pairs below the pow4 grid
+                target = len(chunk)
             if mesh is not None:
                 n_dev = int(np.prod(mesh.devices.shape))
                 target = target + (-target) % n_dev

@@ -112,6 +112,9 @@ def align_pairs_batched(
             _unpack(*in_flight.pop(0))
 
     def _unpack(chunk, pxs, pys, lx, ly, out) -> None:
+        # One device_get for the whole tree: each separate materialization
+        # is a full round trip on remote runtimes.
+        out = jax.device_get(out)
         score = np.asarray(out["score"])
         length = np.asarray(out["length"])
         ti = np.asarray(out["ti"])
@@ -175,6 +178,10 @@ def align_pairs_batched(
             cy, inv_y = _pad_counts(pys, by)
             lx = np.array([p.length for p in pxs], dtype=np.int32)
             ly = np.array([p.length for p in pys], dtype=np.int32)
+            d_cx, d_ivx, d_cy, d_ivy, d_lx, d_ly = (
+                jnp.asarray(cx), jnp.asarray(inv_x), jnp.asarray(cy),
+                jnp.asarray(inv_y), jnp.asarray(lx), jnp.asarray(ly),
+            )
 
             if mesh is not None:
                 from ..dist.allpairs import sharded_wavefront_dp
@@ -191,7 +198,7 @@ def align_pairs_batched(
                     tuple(gap_series),
                     mode,
                     traceback=traceback,
-                )
+                )  # mesh path: device_put with shardings handled inside
             else:
                 # Scale-free quantized scores (int8/int16) for one-hot
                 # profiles — all column inverses are exactly 1, so integer
@@ -210,25 +217,21 @@ def align_pairs_batched(
                     from .pallas_dp import wavefront_dp_pallas
                     from .scores import skewed_pair_scores_int
 
-                    hs = skewed_pair_scores_int(
-                        jnp.asarray(cx), jnp.asarray(cy), s_dev, qdtype=qd
-                    )
+                    hs = skewed_pair_scores_int(d_cx, d_cy, s_dev, qdtype=qd)
                     out = wavefront_dp_pallas(
                         hs,
-                        jnp.asarray(lx),
-                        jnp.asarray(ly),
+                        d_lx,
+                        d_ly,
                         gap_series=tuple(gap_series),
                         mode=mode,
                         traceback=traceback,
                     )
                 else:
-                    hs = skewed_pair_scores(
-                        jnp.asarray(cx), jnp.asarray(inv_x), jnp.asarray(cy), jnp.asarray(inv_y), s_dev
-                    )
+                    hs = skewed_pair_scores(d_cx, d_ivx, d_cy, d_ivy, s_dev)
                     out = wavefront_dp(
                         hs,
-                        jnp.asarray(lx),
-                        jnp.asarray(ly),
+                        d_lx,
+                        d_ly,
                         gap_series=tuple(gap_series),
                         mode=mode,
                         traceback=traceback,

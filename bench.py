@@ -64,11 +64,21 @@ def bench(B: int = 512, L: int = 1023, iters: int = 8, backend: str = "auto") ->
         total_cells_per_round += float((lx.astype(np.float64) * ly).sum())
         arg_sets.append(tuple(jnp.asarray(a) for a in (cx, inv_x, cy, inv_y, s, lx, ly)))
 
-    @jax.jit
-    def run(cx, inv_x, cy, inv_y, s, lx, ly):
-        hs = skewed_pair_scores(cx, inv_x, cy, inv_y, s)
-        out = dp(hs, lx, ly, gap_series=(11, 1), mode="global")
-        return out["score"], out["length"]
+    if backend == "pallas":
+        from praline_tpu.kernels.fused_scores import fused_skewed_scores
+
+        @jax.jit
+        def run(cx, inv_x, cy, inv_y, s, lx, ly):
+            hs = fused_skewed_scores(cx, inv_x, cy, inv_y, s)
+            out = dp(hs, lx, ly, gap_series=(11, 1), mode="global", hs_body=True)
+            return out["score"], out["length"]
+    else:
+
+        @jax.jit
+        def run(cx, inv_x, cy, inv_y, s, lx, ly):
+            hs = skewed_pair_scores(cx, inv_x, cy, inv_y, s)
+            out = dp(hs, lx, ly, gap_series=(11, 1), mode="global")
+            return out["score"], out["length"]
 
     # Warmup / compile.
     outs = [run(*a) for a in arg_sets]

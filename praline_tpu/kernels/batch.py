@@ -200,24 +200,28 @@ def align_pairs_batched(
                     traceback=traceback,
                 )  # mesh path: device_put with shardings handled inside
             else:
-                # Scale-free quantized scores (int8/int16) for one-hot
-                # profiles — all column inverses are exactly 1, so integer
-                # scores ship narrow with no in-kernel arithmetic: 2-4x
-                # less HBM traffic, bit-identical results.
-                qd = None
                 if backend == "pallas":
+                    # Fused H+skew producer (kernels.fused_scores): the pair
+                    # score matrix never touches HBM.  One-hot profiles
+                    # additionally ship integer scores scale-free (int8/16).
+                    from .fused_scores import fused_skewed_scores
+                    from .pallas_dp import wavefront_dp_pallas
                     from .scores import quantized_dtype_for
 
                     max_nx = max(float(p.counts.sum(axis=1).max(initial=0.0)) for p in pxs)
                     max_ny = max(float(p.counts.sum(axis=1).max(initial=0.0)) for p in pys)
+                    qd = None
                     if max_nx <= 1.0 and max_ny <= 1.0:  # one-hot: inverses all 1
-                        max_s = float(np.abs(matrix.scores).max())
-                        qd = quantized_dtype_for(max_s)
-                if qd is not None:
-                    from .pallas_dp import wavefront_dp_pallas
-                    from .scores import skewed_pair_scores_int
-
-                    hs = skewed_pair_scores_int(d_cx, d_cy, s_dev, qdtype=qd)
+                        qd = quantized_dtype_for(float(np.abs(matrix.scores).max()))
+                    hs = fused_skewed_scores(
+                        d_cx,
+                        d_ivx,
+                        d_cy,
+                        d_ivy,
+                        s_dev,
+                        out_dtype=qd if qd is not None else jnp.float32,
+                        scaled=qd is None,
+                    )
                     out = wavefront_dp_pallas(
                         hs,
                         d_lx,
@@ -225,6 +229,7 @@ def align_pairs_batched(
                         gap_series=tuple(gap_series),
                         mode=mode,
                         traceback=traceback,
+                        hs_body=True,
                     )
                 else:
                     hs = skewed_pair_scores(d_cx, d_ivx, d_cy, d_ivy, s_dev)

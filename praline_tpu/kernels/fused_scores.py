@@ -1,0 +1,171 @@
+"""Fused score-matrix + skew producer (Pallas, SURVEY.md §9 P2 follow-on).
+
+Produces the same skewed score tensor as kernels.scores.skewed_pair_scores,
+but the pair score matrix H = Cx @ S @ Cy^T never touches HBM: each grid
+step computes transposed H tiles for a block of 8 problems directly on the
+MXU (``H^T = Cy_tile @ T_tile^T`` — the operand swap IS the transpose) and
+skews them on the VPU with a 7-pass barrel roll over the concatenated
+256-row stacks, writing one (128, 8, 128) block of the diagonal-major
+output.  HBM traffic drops from ~16 B/cell (H write + gather read + hs
+write on the XLA path) to ~4 B/cell.
+
+Geometry: hs[d, b, i] = H[i-1, d-i-1].  With lane block i = i0 + il,
+diagonal block d = d0 + dloc (d0 = 2 + 128*s, i0 = 128*ib), the needed H
+column is c = 128*(s - ib) + (dloc - il) + 1.  Substituting the shifted
+operand CyS[p] = Cy[p - 127] (127 zero rows on the left) gives
+p = c + 127 = 128*(s - ib + 1) + (dloc - il), and (dloc - il) spans
+(-128, 128) — exactly the two aligned CyS tiles (s - ib) and (s - ib + 1).
+Stacking V = [H_hi^T; H_lo^T] (256 rows), output[dloc, il] =
+V[(dloc - il) mod 256, il]: a circular roll down by il per column, applied
+as 7 masked power-of-two rolls.
+
+The pinned (H_int * inv_x) * inv_y scaling happens in-kernel as two
+multiplies followed immediately by the HBM store — there is no subsequent
+add for excess-precision contraction to fuse into, so values are
+bit-identical to the XLA path (parity-tested).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+HIGHEST = jax.lax.Precision.HIGHEST
+TILE = 128
+PB = 8  # problems per grid step (sublane-aligned output blocks)
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@functools.partial(
+    jax.jit, static_argnames=("out_dtype", "scaled", "interpret")
+)
+def fused_skewed_scores(
+    cx: jax.Array,  # f32[B, Lx, A] integer-valued counts
+    inv_x: jax.Array,  # f32[B, Lx]
+    cy: jax.Array,  # f32[B, Ly, A]
+    inv_y: jax.Array,  # f32[B, Ly]
+    s: jax.Array,  # f32[A, A]
+    out_dtype=jnp.float32,
+    scaled: bool = True,
+    interpret: bool | None = None,
+):
+    """Body-layout skewed scores: returns ``hs_body[t, b, i]`` holding the
+    scores of diagonal ``d = t + 2`` (row t), lanes padded to a multiple of
+    128.  Values are identical to ``skewed_pair_scores(...)[2:, :, :Lp]``.
+
+    ``scaled=False`` skips the inverse multiplies (one-hot/integer scores)
+    and can emit int8/int16 via ``out_dtype``.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, Lx, A = cx.shape
+    Ly = cy.shape[1]
+    D = Lx + Ly + 1
+    Lp = Lx + 1
+
+    B_run = _ceil_to(B, PB)
+    if B_run != B:
+        pad = B_run - B
+        cx = jnp.pad(cx, ((0, pad), (0, 0), (0, 0)))
+        inv_x = jnp.pad(inv_x, ((0, pad), (0, 0)), constant_values=1.0)
+        cy = jnp.pad(cy, ((0, pad), (0, 0), (0, 0)))
+        inv_y = jnp.pad(inv_y, ((0, pad), (0, 0)), constant_values=1.0)
+
+    t = jnp.einsum("bxa,ac->bxc", cx, s, precision=HIGHEST)
+    # T_pad: leading zero row aligns lane i with T row i-1.
+    LxT = _ceil_to(Lp, TILE)
+    tp = jnp.zeros((B_run, LxT, A), jnp.float32).at[:, 1 : Lx + 1, :].set(t)
+    invx_p = jnp.ones((B_run, LxT, 1), jnp.float32).at[:, 1 : Lx + 1, 0].set(inv_x)
+
+    # CyS: 127 zero rows, then Cy, right-padded to a tile multiple.
+    rows = _ceil_to(127 + Ly, TILE)
+    cys = jnp.zeros((B_run, rows, A), jnp.float32).at[:, 127 : 127 + Ly, :].set(cy)
+    invy_s = jnp.ones((B_run, rows, 1), jnp.float32).at[:, 127 : 127 + Ly, 0].set(inv_y)
+    CT = rows // TILE
+
+    I = LxT // TILE
+    S_steps = -(-(D - 2) // TILE)
+
+    def self_tile(b, s_, i):
+        return (b, i, 0)
+
+    def lo_tile(b, s_, i):
+        return (b, jnp.clip(s_ - i, 0, CT - 1), 0)
+
+    def hi_tile(b, s_, i):
+        return (b, jnp.clip(s_ - i + 1, 0, CT - 1), 0)
+
+    def kernel(tp_ref, cylo_ref, cyhi_ref, invx_ref, ivlo_ref, ivhi_ref, out_ref):
+        s_id = pl.program_id(1)
+        i_blk = pl.program_id(2)
+        c_lo = s_id - i_blk
+        c_hi = c_lo + 1
+
+        tpv = tp_ref[:, :, :]  # (PB, 128, A)
+        ok_lo = (c_lo >= 0) & (c_lo < CT)
+        ok_hi = (c_hi >= 0) & (c_hi < CT)
+        cylo = jnp.where(ok_lo, cylo_ref[:, :, :], 0.0)
+        cyhi = jnp.where(ok_hi, cyhi_ref[:, :, :], 0.0)
+
+        # Batched transposed H tiles straight off the MXU: (PB, 128c, 128l).
+        dn = (((2,), (2,)), ((0,), (0,)))
+        h_hi = jax.lax.dot_general(
+            cyhi, tpv, dn, preferred_element_type=jnp.float32, precision=HIGHEST
+        )
+        h_lo = jax.lax.dot_general(
+            cylo, tpv, dn, preferred_element_type=jnp.float32, precision=HIGHEST
+        )
+        # (PB, 256, 128) -> (256, PB, 128): barrel axis leads, block layout
+        # matches the (dloc, b, il) output directly.
+        stack = jnp.transpose(jnp.concatenate([h_hi, h_lo], axis=1), (1, 0, 2))
+        if scaled:
+            iv_hi = jnp.broadcast_to(ivhi_ref[:, :, :1], (PB, TILE, TILE))
+            iv_lo = jnp.broadcast_to(ivlo_ref[:, :, :1], (PB, TILE, TILE))
+            iv_hi = jnp.where(ok_hi, iv_hi, 1.0)
+            iv_lo = jnp.where(ok_lo, iv_lo, 1.0)
+            vstack = jnp.transpose(jnp.concatenate([iv_hi, iv_lo], axis=1), (1, 0, 2))
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (2 * TILE, PB, TILE), 2)
+        for bit in range(7):  # il in [0, 128)
+            amt = 1 << bit
+            take = (lane & amt) != 0
+            stack = jnp.where(take, pltpu.roll(stack, amt, 0), stack)
+            if scaled:
+                vstack = jnp.where(take, pltpu.roll(vstack, amt, 0), vstack)
+
+        out = stack[:TILE]
+        if scaled:
+            # pinned order: (H_int * inv_x) * inv_y, then the store.
+            out = out * invx_ref[:, :, 0][None, :, :]
+            out = out * vstack[:TILE]
+        out_ref[:, :, :] = out.astype(out_dtype)
+
+    spec_a = lambda f: pl.BlockSpec((PB, TILE, A), f, memory_space=pltpu.VMEM)
+    spec_1 = lambda f: pl.BlockSpec((PB, TILE, 1), f, memory_space=pltpu.VMEM)
+    in_specs = [
+        spec_a(self_tile),
+        spec_a(lo_tile),
+        spec_a(hi_tile),
+        spec_1(self_tile),
+        spec_1(lo_tile),
+        spec_1(hi_tile),
+    ]
+    out_spec = pl.BlockSpec(
+        (TILE, PB, TILE), lambda b, s_, i: (s_, b, i), memory_space=pltpu.VMEM
+    )
+    hs_body = pl.pallas_call(
+        kernel,
+        grid=(B_run // PB, S_steps, I),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((S_steps * TILE, B_run, LxT), out_dtype),
+        interpret=bool(interpret),
+    )(tp, cys, cys, invx_p, invy_s, invy_s)
+    return hs_body[:, :B, :]

@@ -337,7 +337,9 @@ def _make_kernel(D, Bblk, Lp, k, gap_series, mode, lengths, traceback, quantized
 
 @functools.partial(
     jax.jit,
-    static_argnames=("gap_series", "mode", "traceback", "lengths", "block_b", "interpret"),
+    static_argnames=(
+        "gap_series", "mode", "traceback", "lengths", "block_b", "interpret", "hs_body",
+    ),
 )
 def wavefront_dp_pallas(
     hs: jax.Array,  # f32[D, B, Lp], or int8/int16 in quantized mode
@@ -349,16 +351,27 @@ def wavefront_dp_pallas(
     lengths: bool | None = None,
     block_b: int = 256,
     interpret: bool | None = None,
+    hs_body: bool = False,
 ):
     """Pallas TPU implementation of kernels.scan.wavefront_dp (same contract;
     ``length``/``tcode`` outputs are zeros when the respective carries are
-    disabled — see module docstring)."""
+    disabled — see module docstring).
+
+    ``hs_body=True`` consumes the fused producer's layout (row t = diagonal
+    t + 2, rows/lanes padded to tile multiples; see kernels.fused_scores):
+    padded diagonals compute garbage that can never win a terminal, and
+    padded lanes never reach valid cells.
+    """
     if interpret is None:  # trace-time: interpret off-TPU (CPU tests)
         interpret = jax.default_backend() != "tpu"
     if lengths is None:
         lengths = not traceback
     quantized = hs.dtype != jnp.float32
-    D, B, Lp = hs.shape
+    if hs_body:
+        rows, B, Lp = hs.shape
+        D = rows + 2
+    else:
+        D, B, Lp = hs.shape
     k = len(gap_series)
     # VMEM budget: full scratch rows + double-buffered hs in-blocks and tb
     # out-blocks per problem row; keep the total under ~12 MB.
@@ -415,7 +428,11 @@ def wavefront_dp_pallas(
     grid = (nb, D - 2)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # cum (full)
-        pl.BlockSpec((1, Bblk, Lp), lambda b, d: (d + 2, b, 0), memory_space=pltpu.VMEM),
+        (
+            pl.BlockSpec((1, Bblk, Lp), lambda b, d: (d, b, 0), memory_space=pltpu.VMEM)
+            if hs_body
+            else pl.BlockSpec((1, Bblk, Lp), lambda b, d: (d + 2, b, 0), memory_space=pltpu.VMEM)
+        ),
         bspec(),  # lx
         bspec(),  # ly
     ]

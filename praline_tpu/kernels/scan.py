@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-NEG = jnp.float32(-1.0e30)
+NEG = np.float32(-1.0e30)  # np scalar: no device init at import
 PTR_NONE = 31
 
 

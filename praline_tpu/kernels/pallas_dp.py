@@ -52,7 +52,7 @@ def _scratch_names(k: int, lengths: bool, traceback: bool) -> list[str]:
     return names
 
 
-def _make_kernel(D, Bblk, Lp, k, gap_series, mode, lengths, traceback, quantized):
+def _make_kernel(grid_d, Bblk, Lp, k, gap_series, mode, lengths, traceback, quantized, unroll):
     g = [np.float32(x) for x in gap_series]
     local = mode == "local"
     semi = mode == "semiglobal"
@@ -84,7 +84,6 @@ def _make_kernel(D, Bblk, Lp, k, gap_series, mode, lengths, traceback, quantized
         (score_ref, len_ref, ti_ref, tj_ref, tcode_ref, tb_ref) = rest[:6]
         scr = rest[6:]
         S = dict(zip(names, scr))
-        d = pl.program_id(1) + 2
         lane = jax.lax.broadcasted_iota(jnp.int32, (Bblk, Lp), 1)
         lx = lx_ref[:, :]  # (Bblk, 1)
         ly = ly_ref[:, :]
@@ -153,178 +152,184 @@ def _make_kernel(D, Bblk, Lp, k, gap_series, mode, lengths, traceback, quantized
             zero = jnp.zeros((), v.dtype)
             return jnp.where(lane == 0, zero, pltpu.roll(v, 1, 1))
 
-        if quantized:
-            # integer scores shipped narrow; all column inverses are exactly
-            # 1 in this mode (one-hot profiles), so the cast IS the score —
-            # no multiplies, no excess-precision hazard
-            hrow = hs_ref[0, :, :].astype(jnp.float32)
-        else:
-            hrow = hs_ref[0, :, :]
-        m1v = S["m1"][:, :]
-        m1s = shift_v(m1v)
-        b2vs = shift_v(S["r2v"][:, :])
-        if lengths:
-            lm1v = S["lm1"][:, :]
-            lm1s = shift_z(lm1v)
-            b2ls = shift_z(S["r2l"][:, :])
-        if traceback:
-            b2cs = shift_z(S["r2c"][:, :])
-
-        ix1 = [S["ix1"][l] for l in range(k)]
-        iy1 = [S["iy1"][l] for l in range(k)]
-        if lengths:
-            lix1 = [S["lix1"][l] for l in range(k)]
-            liy1 = [S["liy1"][l] for l in range(k)]
-        nix = [None] * k
-        niy = [None] * k
-        nlix = [None] * k
-        nliy = [None] * k
-        if k == 1:
-            ix1s = shift_v(ix1[0])
-            stay_x = ix1s > m1s
-            nix[0] = jnp.where(stay_x, ix1s, m1s) - g[0]
-            stay_y = iy1[0] > m1v
-            niy[0] = jnp.where(stay_y, iy1[0], m1v) - g[0]
-            if lengths:
-                lix1s = shift_z(lix1[0])
-                nlix[0] = jnp.where(stay_x, lix1s, lm1s) + 1.0
-                nliy[0] = jnp.where(stay_y, liy1[0], lm1v) + 1.0
-        else:
-            ix1sl = [shift_v(v) for v in ix1]
-            nix[0] = m1s - g[0]
-            niy[0] = m1v - g[0]
-            for l in range(1, k - 1):
-                nix[l] = ix1sl[l - 1] - g[l]
-                niy[l] = iy1[l - 1] - g[l]
-            stay_x = ix1sl[k - 1] > ix1sl[k - 2]
-            nix[k - 1] = jnp.where(stay_x, ix1sl[k - 1], ix1sl[k - 2]) - g[k - 1]
-            stay_y = iy1[k - 1] > iy1[k - 2]
-            niy[k - 1] = jnp.where(stay_y, iy1[k - 1], iy1[k - 2]) - g[k - 1]
-            if lengths:
-                lix1sl = [shift_z(v) for v in lix1]
-                nlix[0] = lm1s + 1.0
-                nliy[0] = lm1v + 1.0
-                for l in range(1, k - 1):
-                    nlix[l] = lix1sl[l - 1] + 1.0
-                    nliy[l] = liy1[l - 1] + 1.0
-                nlix[k - 1] = jnp.where(stay_x, lix1sl[k - 1], lix1sl[k - 2]) + 1.0
-                nliy[k - 1] = jnp.where(stay_y, liy1[k - 1], liy1[k - 2]) + 1.0
-
-        nm = hrow + b2vs
-        nlm = (b2ls + 1.0) if lengths else None
-        mcode = b2cs if traceback else None
-        if local:
-            clamp = nm < 0.0
-            nm = jnp.where(clamp, 0.0, nm)
-            if traceback:
-                mcode = jnp.where(clamp, PTR_NONE, mcode)
-            if lengths:
-                # length restarts at any zero-valued M cell (§8.3)
-                nlm = jnp.where(nm <= 0.0, 0.0, nlm)
-
-        at0 = lane == 0
-        atd = lane == d
-        nm = jnp.where(at0 | atd, border_m, nm)
-        if lengths:
-            nlm = jnp.where(at0 | atd, 0.0, nlm)
-        lvl_d = jnp.minimum(d, k)
-        d_f = d.astype(jnp.float32)
-        for l in range(k):
-            if local:
-                nix[l] = jnp.where(at0 | atd, NEG, nix[l])
-                niy[l] = jnp.where(at0 | atd, NEG, niy[l])
-                if lengths:
-                    nlix[l] = jnp.where(at0 | atd, 0.0, nlix[l])
-                    nliy[l] = jnp.where(at0 | atd, 0.0, nliy[l])
+        def _diag(u):
+            d = pl.program_id(1) * unroll + u + 2
+            if quantized:
+                # integer scores shipped narrow; all column inverses are exactly
+                # 1 in this mode (one-hot profiles), so the cast IS the score —
+                # no multiplies, no excess-precision hazard
+                hrow = hs_ref[u, :, :].astype(jnp.float32)
             else:
-                bx = np.float32(0.0) if semi else -cum_ref[0, d]
-                on_lvl = lvl_d == l + 1
-                nix[l] = jnp.where(atd, jnp.where(on_lvl, bx, NEG), jnp.where(at0, NEG, nix[l]))
-                niy[l] = jnp.where(at0, jnp.where(on_lvl, bx, NEG), jnp.where(atd, NEG, niy[l]))
-                if lengths:
-                    nlix[l] = jnp.where(atd, d_f, jnp.where(at0, 0.0, nlix[l]))
-                    nliy[l] = jnp.where(at0, d_f, jnp.where(atd, 0.0, nliy[l]))
-
-        bv, bl, bc = prio(nm, nix, niy,
-                          nlm if lengths else None,
-                          nlix if lengths else None,
-                          nliy if lengths else None,
-                          codes=traceback)
-
-        # ---- terminal tracking ----
-        if mode == "global":
-            pick = d == (lx + ly)  # (Bblk, 1)
-            mask = lane == lx
-            S["tval"][:, :] = jnp.where(pick, _pick(bv, mask, NEG), S["tval"][:, :])
-            S["tis"][:, :] = jnp.where(pick, lx, S["tis"][:, :])
-            S["tjs"][:, :] = jnp.where(pick, ly, S["tjs"][:, :])
+                hrow = hs_ref[u, :, :]
+            m1v = S["m1"][:, :]
+            m1s = shift_v(m1v)
+            b2vs = shift_v(S["r2v"][:, :])
             if lengths:
-                S["tlen"][:, :] = jnp.where(pick, _pick(bl, mask, NEG), S["tlen"][:, :])
+                lm1v = S["lm1"][:, :]
+                lm1s = shift_z(lm1v)
+                b2ls = shift_z(S["r2l"][:, :])
             if traceback:
-                S["tcs"][:, :] = jnp.where(pick, _pick(bc, mask, -1), S["tcs"][:, :])
-        elif semi:
-            for cand_i, cand_j in ((d - ly, ly), (lx, d - lx)):
-                ok = (cand_i >= 0) & (cand_i <= lx) & (cand_j >= 0) & (cand_j <= ly)
-                mask = lane == cand_i
-                cv = _pick(bv, mask, NEG)
-                better = cv > S["tval"][:, :]
-                tie = (cv == S["tval"][:, :]) & (
-                    (cand_i > S["tis"][:, :])
-                    | ((cand_i == S["tis"][:, :]) & (cand_j > S["tjs"][:, :]))
-                )
-                repl = ok & (better | tie)
-                S["tval"][:, :] = jnp.where(repl, cv, S["tval"][:, :])
-                S["tis"][:, :] = jnp.where(repl, cand_i, S["tis"][:, :])
-                S["tjs"][:, :] = jnp.where(repl, cand_j, S["tjs"][:, :])
+                b2cs = shift_z(S["r2c"][:, :])
+
+            ix1 = [S["ix1"][l] for l in range(k)]
+            iy1 = [S["iy1"][l] for l in range(k)]
+            if lengths:
+                lix1 = [S["lix1"][l] for l in range(k)]
+                liy1 = [S["liy1"][l] for l in range(k)]
+            nix = [None] * k
+            niy = [None] * k
+            nlix = [None] * k
+            nliy = [None] * k
+            if k == 1:
+                ix1s = shift_v(ix1[0])
+                stay_x = ix1s > m1s
+                nix[0] = jnp.where(stay_x, ix1s, m1s) - g[0]
+                stay_y = iy1[0] > m1v
+                niy[0] = jnp.where(stay_y, iy1[0], m1v) - g[0]
                 if lengths:
-                    S["tlen"][:, :] = jnp.where(repl, _pick(bl, mask, NEG), S["tlen"][:, :])
+                    lix1s = shift_z(lix1[0])
+                    nlix[0] = jnp.where(stay_x, lix1s, lm1s) + 1.0
+                    nliy[0] = jnp.where(stay_y, liy1[0], lm1v) + 1.0
+            else:
+                ix1sl = [shift_v(v) for v in ix1]
+                nix[0] = m1s - g[0]
+                niy[0] = m1v - g[0]
+                for l in range(1, k - 1):
+                    nix[l] = ix1sl[l - 1] - g[l]
+                    niy[l] = iy1[l - 1] - g[l]
+                stay_x = ix1sl[k - 1] > ix1sl[k - 2]
+                nix[k - 1] = jnp.where(stay_x, ix1sl[k - 1], ix1sl[k - 2]) - g[k - 1]
+                stay_y = iy1[k - 1] > iy1[k - 2]
+                niy[k - 1] = jnp.where(stay_y, iy1[k - 1], iy1[k - 2]) - g[k - 1]
+                if lengths:
+                    lix1sl = [shift_z(v) for v in lix1]
+                    nlix[0] = lm1s + 1.0
+                    nliy[0] = lm1v + 1.0
+                    for l in range(1, k - 1):
+                        nlix[l] = lix1sl[l - 1] + 1.0
+                        nliy[l] = liy1[l - 1] + 1.0
+                    nlix[k - 1] = jnp.where(stay_x, lix1sl[k - 1], lix1sl[k - 2]) + 1.0
+                    nliy[k - 1] = jnp.where(stay_y, liy1[k - 1], liy1[k - 2]) + 1.0
+
+            nm = hrow + b2vs
+            nlm = (b2ls + 1.0) if lengths else None
+            mcode = b2cs if traceback else None
+            if local:
+                clamp = nm < 0.0
+                nm = jnp.where(clamp, 0.0, nm)
                 if traceback:
-                    S["tcs"][:, :] = jnp.where(repl, _pick(bc, mask, -1), S["tcs"][:, :])
-        else:  # local
-            valid = (lane >= 1) & (lane <= lx) & (d - lane >= 1) & (d - lane <= ly)
-            mv = jnp.where(valid, nm, NEG)
-            step_best = jnp.max(mv, axis=1, keepdims=True)
-            ismax = mv == step_best
-            big = jnp.int32(Lp)
-            step_arg = jnp.min(jnp.where(ismax, lane, big), axis=1, keepdims=True)
-            cj = d - step_arg
-            better = step_best > S["tval"][:, :]
-            tie = (step_best == S["tval"][:, :]) & (
-                (step_arg < S["tis"][:, :])
-                | ((step_arg == S["tis"][:, :]) & (cj < S["tjs"][:, :]))
-            )
-            repl = better | tie
-            S["tval"][:, :] = jnp.where(repl, step_best, S["tval"][:, :])
-            S["tis"][:, :] = jnp.where(repl, step_arg, S["tis"][:, :])
-            S["tjs"][:, :] = jnp.where(repl, cj, S["tjs"][:, :])
-            if lengths:
-                step_len = _pick(nlm, lane == step_arg, NEG)
-                S["tlen"][:, :] = jnp.where(repl, step_len, S["tlen"][:, :])
-            # local terminals are M cells: tcs stays 0.
+                    mcode = jnp.where(clamp, PTR_NONE, mcode)
+                if lengths:
+                    # length restarts at any zero-valued M cell (§8.3)
+                    nlm = jnp.where(nm <= 0.0, 0.0, nlm)
 
-        # ---- write carries ----
-        S["m1"][:, :] = nm
-        for l in range(k):
-            S["ix1"][l] = nix[l]
-            S["iy1"][l] = niy[l]
+            at0 = lane == 0
+            atd = lane == d
+            nm = jnp.where(at0 | atd, border_m, nm)
             if lengths:
-                S["lix1"][l] = nlix[l]
-                S["liy1"][l] = nliy[l]
-        S["r2v"][:, :] = S["r1v"][:, :]
-        S["r1v"][:, :] = bv
-        if lengths:
-            S["lm1"][:, :] = nlm
-            S["r2l"][:, :] = S["r1l"][:, :]
-            S["r1l"][:, :] = bl
-        if traceback:
-            S["r2c"][:, :] = S["r1c"][:, :]
-            S["r1c"][:, :] = bc
-            # int32 arithmetic (Mosaic cannot legalize sub-word shifts),
-            # narrowed to uint8 at the store.
-            bits = mcode + stay_x.astype(jnp.int32) * 32 + stay_y.astype(jnp.int32) * 64
-            tb_ref[0, :, :] = bits.astype(jnp.uint8)
+                nlm = jnp.where(at0 | atd, 0.0, nlm)
+            lvl_d = jnp.minimum(d, k)
+            d_f = d.astype(jnp.float32)
+            for l in range(k):
+                if local:
+                    nix[l] = jnp.where(at0 | atd, NEG, nix[l])
+                    niy[l] = jnp.where(at0 | atd, NEG, niy[l])
+                    if lengths:
+                        nlix[l] = jnp.where(at0 | atd, 0.0, nlix[l])
+                        nliy[l] = jnp.where(at0 | atd, 0.0, nliy[l])
+                else:
+                    bx = np.float32(0.0) if semi else -cum_ref[0, d]
+                    on_lvl = lvl_d == l + 1
+                    nix[l] = jnp.where(atd, jnp.where(on_lvl, bx, NEG), jnp.where(at0, NEG, nix[l]))
+                    niy[l] = jnp.where(at0, jnp.where(on_lvl, bx, NEG), jnp.where(atd, NEG, niy[l]))
+                    if lengths:
+                        nlix[l] = jnp.where(atd, d_f, jnp.where(at0, 0.0, nlix[l]))
+                        nliy[l] = jnp.where(at0, d_f, jnp.where(atd, 0.0, nliy[l]))
 
-        @pl.when(pl.program_id(1) == D - 3)
+            bv, bl, bc = prio(nm, nix, niy,
+                              nlm if lengths else None,
+                              nlix if lengths else None,
+                              nliy if lengths else None,
+                              codes=traceback)
+
+            # ---- terminal tracking ----
+            if mode == "global":
+                pick = d == (lx + ly)  # (Bblk, 1)
+                mask = lane == lx
+                S["tval"][:, :] = jnp.where(pick, _pick(bv, mask, NEG), S["tval"][:, :])
+                S["tis"][:, :] = jnp.where(pick, lx, S["tis"][:, :])
+                S["tjs"][:, :] = jnp.where(pick, ly, S["tjs"][:, :])
+                if lengths:
+                    S["tlen"][:, :] = jnp.where(pick, _pick(bl, mask, NEG), S["tlen"][:, :])
+                if traceback:
+                    S["tcs"][:, :] = jnp.where(pick, _pick(bc, mask, -1), S["tcs"][:, :])
+            elif semi:
+                for cand_i, cand_j in ((d - ly, ly), (lx, d - lx)):
+                    ok = (cand_i >= 0) & (cand_i <= lx) & (cand_j >= 0) & (cand_j <= ly)
+                    mask = lane == cand_i
+                    cv = _pick(bv, mask, NEG)
+                    better = cv > S["tval"][:, :]
+                    tie = (cv == S["tval"][:, :]) & (
+                        (cand_i > S["tis"][:, :])
+                        | ((cand_i == S["tis"][:, :]) & (cand_j > S["tjs"][:, :]))
+                    )
+                    repl = ok & (better | tie)
+                    S["tval"][:, :] = jnp.where(repl, cv, S["tval"][:, :])
+                    S["tis"][:, :] = jnp.where(repl, cand_i, S["tis"][:, :])
+                    S["tjs"][:, :] = jnp.where(repl, cand_j, S["tjs"][:, :])
+                    if lengths:
+                        S["tlen"][:, :] = jnp.where(repl, _pick(bl, mask, NEG), S["tlen"][:, :])
+                    if traceback:
+                        S["tcs"][:, :] = jnp.where(repl, _pick(bc, mask, -1), S["tcs"][:, :])
+            else:  # local
+                valid = (lane >= 1) & (lane <= lx) & (d - lane >= 1) & (d - lane <= ly)
+                mv = jnp.where(valid, nm, NEG)
+                step_best = jnp.max(mv, axis=1, keepdims=True)
+                ismax = mv == step_best
+                big = jnp.int32(Lp)
+                step_arg = jnp.min(jnp.where(ismax, lane, big), axis=1, keepdims=True)
+                cj = d - step_arg
+                better = step_best > S["tval"][:, :]
+                tie = (step_best == S["tval"][:, :]) & (
+                    (step_arg < S["tis"][:, :])
+                    | ((step_arg == S["tis"][:, :]) & (cj < S["tjs"][:, :]))
+                )
+                repl = better | tie
+                S["tval"][:, :] = jnp.where(repl, step_best, S["tval"][:, :])
+                S["tis"][:, :] = jnp.where(repl, step_arg, S["tis"][:, :])
+                S["tjs"][:, :] = jnp.where(repl, cj, S["tjs"][:, :])
+                if lengths:
+                    step_len = _pick(nlm, lane == step_arg, NEG)
+                    S["tlen"][:, :] = jnp.where(repl, step_len, S["tlen"][:, :])
+                # local terminals are M cells: tcs stays 0.
+
+            # ---- write carries ----
+            S["m1"][:, :] = nm
+            for l in range(k):
+                S["ix1"][l] = nix[l]
+                S["iy1"][l] = niy[l]
+                if lengths:
+                    S["lix1"][l] = nlix[l]
+                    S["liy1"][l] = nliy[l]
+            S["r2v"][:, :] = S["r1v"][:, :]
+            S["r1v"][:, :] = bv
+            if lengths:
+                S["lm1"][:, :] = nlm
+                S["r2l"][:, :] = S["r1l"][:, :]
+                S["r1l"][:, :] = bl
+            if traceback:
+                S["r2c"][:, :] = S["r1c"][:, :]
+                S["r1c"][:, :] = bc
+                # int32 arithmetic (Mosaic cannot legalize sub-word shifts),
+                # narrowed to uint8 at the store.
+                bits = mcode + stay_x.astype(jnp.int32) * 32 + stay_y.astype(jnp.int32) * 64
+                tb_ref[u, :, :] = bits.astype(jnp.uint8)
+
+
+        for u in range(unroll):
+            _diag(u)
+
+        @pl.when(pl.program_id(1) == grid_d - 1)
         def _finish():
             score_ref[:, :] = S["tval"][:, :]
             ti_ref[:, :] = S["tis"][:, :]
@@ -338,7 +343,8 @@ def _make_kernel(D, Bblk, Lp, k, gap_series, mode, lengths, traceback, quantized
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "gap_series", "mode", "traceback", "lengths", "block_b", "interpret", "hs_body",
+        "gap_series", "mode", "traceback", "lengths", "block_b", "interpret",
+        "hs_body", "unroll",
     ),
 )
 def wavefront_dp_pallas(
@@ -352,6 +358,7 @@ def wavefront_dp_pallas(
     block_b: int = 256,
     interpret: bool | None = None,
     hs_body: bool = False,
+    unroll: int = 1,
 ):
     """Pallas TPU implementation of kernels.scan.wavefront_dp (same contract;
     ``length``/``tcode`` outputs are zeros when the respective carries are
@@ -372,6 +379,10 @@ def wavefront_dp_pallas(
         D = rows + 2
     else:
         D, B, Lp = hs.shape
+    steps = D - 2
+    if unroll > 1 and (not hs_body or steps % unroll):
+        unroll = 1  # unrolling needs the padded body layout
+    grid_d = steps // unroll
     k = len(gap_series)
     # VMEM budget: full scratch rows + double-buffered hs in-blocks and tb
     # out-blocks per problem row; keep the total under ~12 MB.
@@ -380,9 +391,10 @@ def wavefront_dp_pallas(
         n_rows += 3 + 2 * k
     if traceback:
         n_rows += 2
-    # +4 rows: double-buffered hs in-blocks and Mosaic's own overheads;
-    # 10 MB budget leaves headroom below the 16 MB scoped-vmem limit.
-    bytes_per_row = Lp * (4 * (n_rows + 4) + (2 if traceback else 0))
+    # Extra rows: double-buffered hs in-blocks (2 per unroll step) plus
+    # Mosaic's own overheads; 10 MB budget leaves headroom below the 16 MB
+    # scoped-vmem limit.
+    bytes_per_row = Lp * (4 * (n_rows + 2 + 2 * unroll) + (2 if traceback else 0) * unroll)
     vmem_rows = max(8, int(10e6 // max(bytes_per_row, 1)))
     block_cap = 8
     while block_cap * 2 <= vmem_rows:
@@ -406,15 +418,19 @@ def wavefront_dp_pallas(
     lx2 = lx.astype(jnp.int32)[:, None]
     ly2 = ly.astype(jnp.int32)[:, None]
 
-    kernel = _make_kernel(D, Bblk, Lp, k, tuple(gap_series), mode, lengths, traceback, quantized)
+    kernel = _make_kernel(
+        grid_d, Bblk, Lp, k, tuple(gap_series), mode, lengths, traceback, quantized, unroll
+    )
 
     f32 = jnp.float32
     i32 = jnp.int32
     if traceback:
         tb_shape = jax.ShapeDtypeStruct((D - 2, B_run, Lp), jnp.uint8)
-        tb_spec = pl.BlockSpec((1, Bblk, Lp), lambda b, d: (d, b, 0), memory_space=pltpu.VMEM)
+        tb_spec = pl.BlockSpec(
+            (unroll, Bblk, Lp), lambda b, d: (d, b, 0), memory_space=pltpu.VMEM
+        )
     else:
-        tb_shape = jax.ShapeDtypeStruct((D - 2, 1, 1), jnp.uint8)
+        tb_shape = jax.ShapeDtypeStruct((grid_d, 1, 1), jnp.uint8)
         tb_spec = pl.BlockSpec((1, 1, 1), lambda b, d: (d, 0, 0), memory_space=pltpu.VMEM)
     out_shape = (
         jax.ShapeDtypeStruct((B_run, 1), f32),  # score
@@ -425,11 +441,11 @@ def wavefront_dp_pallas(
         tb_shape,
     )
     bspec = lambda: pl.BlockSpec((Bblk, 1), lambda b, d: (b, 0), memory_space=pltpu.VMEM)
-    grid = (nb, D - 2)
+    grid = (nb, grid_d)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # cum (full)
         (
-            pl.BlockSpec((1, Bblk, Lp), lambda b, d: (d, b, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((unroll, Bblk, Lp), lambda b, d: (d, b, 0), memory_space=pltpu.VMEM)
             if hs_body
             else pl.BlockSpec((1, Bblk, Lp), lambda b, d: (d + 2, b, 0), memory_space=pltpu.VMEM)
         ),

@@ -79,3 +79,25 @@ def test_fused_body_layout_through_dp(mode):
     ta = np.asarray(a["tb"])
     tp_ = np.asarray(p["tb"])
     np.testing.assert_array_equal(ta, tp_[: ta.shape[0], :, : ta.shape[2]])
+
+
+@pytest.mark.parametrize("mode", ["global", "semiglobal", "local"])
+def test_unrolled_dp_matches(mode):
+    """unroll=2 over the body layout is bit-identical to unroll=1."""
+    rng = np.random.default_rng(zlib.crc32(repr(("unroll", mode)).encode()))
+    B, Lx, Ly = 3, 150, 140
+    cx, ivx, cy, ivy = make_profiles(rng, B, Lx, Ly)
+    lx = rng.integers(Lx // 2, Lx + 1, size=B).astype(np.int32)
+    ly = rng.integers(Ly // 2, Ly + 1, size=B).astype(np.int32)
+    s = B62.as_f32()
+    body = fused_skewed_scores(cx, ivx, cy, ivy, s)
+    a = wavefront_dp_pallas(
+        body, lx, ly, gap_series=(11, 1), mode=mode, traceback=True,
+        lengths=True, hs_body=True,
+    )
+    b = wavefront_dp_pallas(
+        body, lx, ly, gap_series=(11, 1), mode=mode, traceback=True,
+        lengths=True, hs_body=True, unroll=2,
+    )
+    for key in ("score", "length", "ti", "tj", "tcode", "tb"):
+        np.testing.assert_array_equal(np.asarray(a[key]), np.asarray(b[key]), key)

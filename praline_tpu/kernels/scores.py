@@ -1,5 +1,10 @@
 """Device-side pair score matrices in diagonal-major (skewed) layout.
 
+NOTE: on TPU the production scoring path is kernels.fused_scores (the pair
+score matrix never touches HBM); the XLA gather producers here remain the
+portable reference implementation (CPU backend, parity tests) and the
+fallback for non-Pallas execution.
+
 The reference scores each DP cell with a Python dict lookup (SURVEY.md §3 C10
 [B:5 "scoring (dict lookup -> ...)"]); here the whole L1 x L2 column-pair
 score matrix is produced by two MXU matmuls in integer count space —
@@ -97,14 +102,3 @@ def quantized_dtype_for(max_abs_int: float):
     if max_abs_int < 32767:
         return jnp.int16
     return None
-
-
-def profile_device_arrays(counts, gaps=None):
-    """Host helper: counts -> (counts_f32, inv_f32) with the pinned single
-    f32 division (kernels only ever multiply)."""
-    import numpy as np
-
-    c = np.asarray(counts, dtype=np.float32)
-    totals = np.maximum(c.sum(axis=-1, dtype=np.float32), np.float32(1.0))
-    inv = (np.float32(1.0) / totals).astype(np.float32)
-    return c, inv

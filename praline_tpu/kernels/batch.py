@@ -61,7 +61,7 @@ def align_pairs_batched(
     traceback: bool = False,
     bucket_sizes: tuple[int, ...] = (63, 127, 255, 511, 1023, 2047),
     batch_pairs: int = 32,
-    backend: str = "xla",
+    backend: str = "auto",
     mesh=None,
 ) -> list[AlignResult] | list[PairResult]:
     """Align every (px, py) pair; results in input order.

@@ -49,3 +49,46 @@ def write_alignment_clustal(alignment: Alignment, path: str | Path | TextIO) -> 
         path.write(text)
     else:
         Path(path).write_text(text)
+
+
+def parse_alignment_clustal(text: str, alphabet) -> "object":
+    """Parse a CLUSTAL-format alignment (header line, blocks of
+    ``name  chunk`` rows, optional conservation lines) back into an
+    :class:`~praline_tpu.types.Alignment`."""
+    from .fasta import alignment_from_gapped_texts
+
+    lines = text.splitlines()
+    if not lines or not lines[0].upper().startswith("CLUSTAL"):
+        raise ValueError("not a CLUSTAL file (missing header)")
+    chunks: dict[str, list[str]] = {}
+    order: list[str] = []
+    for raw in lines[1:]:
+        if not raw.strip():
+            continue
+        parts = raw.split()
+        if len(parts) < 2:
+            continue
+        name, seq = parts[0], parts[-1]
+        # conservation lines contain only *:. and spaces; data rows start
+        # with a name that is not purely conservation markers
+        if set(name) <= set("*:."):
+            continue
+        if not set(seq) <= set(alphabet.symbols) | set(
+            x.lower() for x in alphabet.symbols
+        ) | set("-.") | set(alphabet.aliases):
+            continue
+        if name not in chunks:
+            chunks[name] = []
+            order.append(name)
+        chunks[name].append(seq)
+    if not order:
+        raise ValueError("no sequence rows found in CLUSTAL file")
+    records = [(name, "".join(chunks[name])) for name in order]
+    return alignment_from_gapped_texts(records, alphabet)
+
+
+def load_alignment_clustal(path, alphabet):
+    from pathlib import Path
+
+    text = path.read() if hasattr(path, "read") else Path(path).read_text()
+    return parse_alignment_clustal(text, alphabet)

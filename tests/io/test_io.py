@@ -115,3 +115,18 @@ def test_custom_matrix_parse_errors():
     text = "   A  C  G  T  N\nA  1 0 0 0 0\n"
     with pytest.raises(ValueError):
         parse_score_matrix(text, ALPHABET_DNA)  # missing rows
+
+
+def test_clustal_roundtrip():
+    from praline_tpu.io import load_alignment_clustal, parse_alignment_clustal
+
+    text = ">a\nMKV-LAW\n>b\nM-VQLAW\n>c long\nMKVQLAW\n"
+    aln = load_alignment_fasta(pyio.StringIO(text), ALPHABET_AA)
+    clustal = format_alignment_clustal(aln)
+    back = parse_alignment_clustal(clustal, ALPHABET_AA)
+    assert back.num_members == 3
+    assert np.array_equal(back.rows, aln.rows)
+    # names survive (first token of the original name)
+    assert [m.name for m in back.members] == ["a", "b", "c"]
+    with pytest.raises(ValueError):
+        parse_alignment_clustal("not a clustal file", ALPHABET_AA)

@@ -44,7 +44,8 @@ def _ceil_to(x: int, m: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("out_dtype", "scaled", "interpret")
+    jax.jit,
+    static_argnames=("out_dtype", "scaled", "interpret", "band_start", "n_bands"),
 )
 def fused_skewed_scores(
     cx: jax.Array,  # f32[B, Lx, A] integer-valued counts
@@ -55,6 +56,8 @@ def fused_skewed_scores(
     out_dtype=jnp.float32,
     scaled: bool = True,
     interpret: bool | None = None,
+    band_start: int = 0,
+    n_bands: int | None = None,
 ):
     """Body-layout skewed scores: returns ``hs_body[t, b, i]`` holding the
     scores of diagonal ``d = t + 2`` (row t), lanes padded to a multiple of
@@ -91,19 +94,20 @@ def fused_skewed_scores(
     CT = rows // TILE
 
     I = LxT // TILE
-    S_steps = -(-(D - 2) // TILE)
+    total_bands = -(-(D - 2) // TILE)
+    S_steps = total_bands - band_start if n_bands is None else n_bands
 
     def self_tile(b, s_, i):
         return (b, i, 0)
 
     def lo_tile(b, s_, i):
-        return (b, jnp.clip(s_ - i, 0, CT - 1), 0)
+        return (b, jnp.clip(band_start + s_ - i, 0, CT - 1), 0)
 
     def hi_tile(b, s_, i):
-        return (b, jnp.clip(s_ - i + 1, 0, CT - 1), 0)
+        return (b, jnp.clip(band_start + s_ - i + 1, 0, CT - 1), 0)
 
     def kernel(tp_ref, cylo_ref, cyhi_ref, invx_ref, ivlo_ref, ivhi_ref, out_ref):
-        s_id = pl.program_id(1)
+        s_id = pl.program_id(1) + band_start
         i_blk = pl.program_id(2)
         c_lo = s_id - i_blk
         c_hi = c_lo + 1

@@ -52,7 +52,23 @@ def _scratch_names(k: int, lengths: bool, traceback: bool) -> list[str]:
     return names
 
 
-def _make_kernel(grid_d, Bblk, Lp, k, gap_series, mode, lengths, traceback, quantized, unroll):
+def _carry_rows(k, lengths, traceback):
+    """(f32 row names, i32 row names, f32 terminal names, i32 terminal names)
+    for chunked carry I/O; order is the pack layout."""
+    f32_rows = ["m1", "r1v", "r2v"]
+    if lengths:
+        f32_rows += ["lm1", "r1l", "r2l"]
+    f32_rows += [f"ix1_{l}" for l in range(k)] + [f"iy1_{l}" for l in range(k)]
+    if lengths:
+        f32_rows += [f"lix1_{l}" for l in range(k)] + [f"liy1_{l}" for l in range(k)]
+    i32_rows = ["r1c", "r2c"] if traceback else []
+    f32_terms = ["tval"] + (["tlen"] if lengths else [])
+    i32_terms = ["tis", "tjs"] + (["tcs"] if traceback else [])
+    return f32_rows, i32_rows, f32_terms, i32_terms
+
+
+def _make_kernel(grid_d, Bblk, Lp, k, gap_series, mode, lengths, traceback,
+                 quantized, unroll, chunked, first, d_base):
     g = [np.float32(x) for x in gap_series]
     local = mode == "local"
     semi = mode == "semiglobal"
@@ -80,9 +96,25 @@ def _make_kernel(grid_d, Bblk, Lp, k, gap_series, mode, lengths, traceback, quan
                 c = jnp.where(b, 1 + k + l, c)
         return v, ln, c
 
+    f32_rows, i32_rows, f32_terms, i32_terms = _carry_rows(k, lengths, traceback)
+
+    def _scr_slot(S, name):
+        """Scratch ref + index for a packed carry row name."""
+        if "_" in name and name.rsplit("_", 1)[-1].isdigit():
+            base, l = name.rsplit("_", 1)
+            return S[base], int(l)
+        return S[name], None
+
     def kernel(cum_ref, hs_ref, lx_ref, ly_ref, *rest):
+        if chunked and not first:
+            cf_ref, ci_ref, tf_ref, ti_in_ref = rest[:4]
+            rest = rest[4:]
         (score_ref, len_ref, ti_ref, tj_ref, tcode_ref, tb_ref) = rest[:6]
-        scr = rest[6:]
+        rest = rest[6:]
+        if chunked:
+            cfo_ref, cio_ref, tfo_ref, tio_ref = rest[:4]
+            rest = rest[4:]
+        scr = rest
         S = dict(zip(names, scr))
         lane = jax.lax.broadcasted_iota(jnp.int32, (Bblk, Lp), 1)
         lx = lx_ref[:, :]  # (Bblk, 1)
@@ -90,60 +122,79 @@ def _make_kernel(grid_d, Bblk, Lp, k, gap_series, mode, lengths, traceback, quan
         negs = jnp.full((Bblk, Lp), NEG, jnp.float32)
         zeros = jnp.zeros((Bblk, Lp), jnp.float32)
 
-        @pl.when(pl.program_id(1) == 0)
-        def _init():
-            m1v = jnp.where((lane == 0) | (lane == 1), border_m, negs)
-            S["m1"][:, :] = m1v
-            ix0 = [negs] * k
-            iy0 = [negs] * k
-            lx0 = [zeros] * k
-            ly0 = [zeros] * k
-            if not local:
-                bval = np.float32(0.0) if semi else -cum_ref[0, 1]
-                ix0[0] = jnp.where(lane == 1, bval, negs)
-                iy0[0] = jnp.where(lane == 0, bval, negs)
-                lx0[0] = jnp.where(lane == 1, 1.0, zeros)
-                ly0[0] = jnp.where(lane == 0, 1.0, zeros)
-            for l in range(k):
-                S["ix1"][l] = ix0[l]
-                S["iy1"][l] = iy0[l]
-                if lengths:
-                    S["lix1"][l] = lx0[l]
-                    S["liy1"][l] = ly0[l]
-            S["r2v"][:, :] = jnp.where(lane == 0, 0.0, negs)
-            v, ln, c = prio(m1v, ix0, iy0,
-                            zeros if lengths else None,
-                            lx0 if lengths else None,
-                            ly0 if lengths else None,
-                            codes=traceback)
-            S["r1v"][:, :] = v
-            if lengths:
-                S["lm1"][:, :] = zeros
-                S["r2l"][:, :] = zeros
-                S["r1l"][:, :] = ln
-            if traceback:
-                S["r2c"][:, :] = jnp.zeros((Bblk, Lp), jnp.int32)
-                S["r1c"][:, :] = c
-            # terminal trackers
-            S["tval"][:, :] = jnp.full((Bblk, 1), NEG, jnp.float32)
-            S["tis"][:, :] = jnp.zeros((Bblk, 1), jnp.int32)
-            S["tjs"][:, :] = jnp.zeros((Bblk, 1), jnp.int32)
-            if lengths:
-                S["tlen"][:, :] = jnp.zeros((Bblk, 1), jnp.float32)
-            if traceback:
-                S["tcs"][:, :] = jnp.zeros((Bblk, 1), jnp.int32)
-            if semi:
-                for pickc, ci, cj, code in (
-                    (ly == 1, 0, 1, 1 + k),  # (0, 1): Iy cell
-                    (lx == 1, 1, 0, 1),  # (1, 0): Ix cell, larger i wins
-                ):
-                    S["tval"][:, :] = jnp.where(pickc, 0.0, S["tval"][:, :])
-                    S["tis"][:, :] = jnp.where(pickc, ci, S["tis"][:, :])
-                    S["tjs"][:, :] = jnp.where(pickc, cj, S["tjs"][:, :])
+        if (not chunked) or first:
+
+            @pl.when(pl.program_id(1) == 0)
+            def _init():
+                m1v = jnp.where((lane == 0) | (lane == 1), border_m, negs)
+                S["m1"][:, :] = m1v
+                ix0 = [negs] * k
+                iy0 = [negs] * k
+                lx0 = [zeros] * k
+                ly0 = [zeros] * k
+                if not local:
+                    bval = np.float32(0.0) if semi else -cum_ref[0, 1]
+                    ix0[0] = jnp.where(lane == 1, bval, negs)
+                    iy0[0] = jnp.where(lane == 0, bval, negs)
+                    lx0[0] = jnp.where(lane == 1, 1.0, zeros)
+                    ly0[0] = jnp.where(lane == 0, 1.0, zeros)
+                for l in range(k):
+                    S["ix1"][l] = ix0[l]
+                    S["iy1"][l] = iy0[l]
                     if lengths:
-                        S["tlen"][:, :] = jnp.where(pickc, 1.0, S["tlen"][:, :])
-                    if traceback:
-                        S["tcs"][:, :] = jnp.where(pickc, code, S["tcs"][:, :])
+                        S["lix1"][l] = lx0[l]
+                        S["liy1"][l] = ly0[l]
+                S["r2v"][:, :] = jnp.where(lane == 0, 0.0, negs)
+                v, ln, c = prio(m1v, ix0, iy0,
+                                zeros if lengths else None,
+                                lx0 if lengths else None,
+                                ly0 if lengths else None,
+                                codes=traceback)
+                S["r1v"][:, :] = v
+                if lengths:
+                    S["lm1"][:, :] = zeros
+                    S["r2l"][:, :] = zeros
+                    S["r1l"][:, :] = ln
+                if traceback:
+                    S["r2c"][:, :] = jnp.zeros((Bblk, Lp), jnp.int32)
+                    S["r1c"][:, :] = c
+                # terminal trackers
+                S["tval"][:, :] = jnp.full((Bblk, 1), NEG, jnp.float32)
+                S["tis"][:, :] = jnp.zeros((Bblk, 1), jnp.int32)
+                S["tjs"][:, :] = jnp.zeros((Bblk, 1), jnp.int32)
+                if lengths:
+                    S["tlen"][:, :] = jnp.zeros((Bblk, 1), jnp.float32)
+                if traceback:
+                    S["tcs"][:, :] = jnp.zeros((Bblk, 1), jnp.int32)
+                if semi:
+                    for pickc, ci, cj, code in (
+                        (ly == 1, 0, 1, 1 + k),  # (0, 1): Iy cell
+                        (lx == 1, 1, 0, 1),  # (1, 0): Ix cell, larger i wins
+                    ):
+                        S["tval"][:, :] = jnp.where(pickc, 0.0, S["tval"][:, :])
+                        S["tis"][:, :] = jnp.where(pickc, ci, S["tis"][:, :])
+                        S["tjs"][:, :] = jnp.where(pickc, cj, S["tjs"][:, :])
+                        if lengths:
+                            S["tlen"][:, :] = jnp.where(pickc, 1.0, S["tlen"][:, :])
+                        if traceback:
+                            S["tcs"][:, :] = jnp.where(pickc, code, S["tcs"][:, :])
+
+        if chunked and not first:
+
+            @pl.when(pl.program_id(1) == 0)
+            def _load_carries():
+                for r, name in enumerate(f32_rows):
+                    ref, l = _scr_slot(S, name)
+                    if l is None:
+                        ref[:, :] = cf_ref[r, :, :]
+                    else:
+                        ref[l] = cf_ref[r, :, :]
+                for r, name in enumerate(i32_rows):
+                    S[name][:, :] = ci_ref[r, :, :]
+                for r, name in enumerate(f32_terms):
+                    S[name][:, :] = tf_ref[r, :, :]
+                for r, name in enumerate(i32_terms):
+                    S[name][:, :] = ti_in_ref[r, :, :]
 
         def shift_v(v):
             return jnp.where(lane == 0, NEG, pltpu.roll(v, 1, 1))
@@ -153,7 +204,7 @@ def _make_kernel(grid_d, Bblk, Lp, k, gap_series, mode, lengths, traceback, quan
             return jnp.where(lane == 0, zero, pltpu.roll(v, 1, 1))
 
         def _diag(u):
-            d = pl.program_id(1) * unroll + u + 2
+            d = pl.program_id(1) * unroll + u + d_base
             if quantized:
                 # integer scores shipped narrow; all column inverses are exactly
                 # 1 in this mode (one-hot profiles), so the cast IS the score —
@@ -336,6 +387,16 @@ def _make_kernel(grid_d, Bblk, Lp, k, gap_series, mode, lengths, traceback, quan
             tj_ref[:, :] = S["tjs"][:, :]
             len_ref[:, :] = S["tlen"][:, :] if lengths else jnp.zeros((Bblk, 1), jnp.float32)
             tcode_ref[:, :] = S["tcs"][:, :] if traceback else jnp.zeros((Bblk, 1), jnp.int32)
+            if chunked:
+                for r, name in enumerate(f32_rows):
+                    ref, l = _scr_slot(S, name)
+                    cfo_ref[r, :, :] = ref[:, :] if l is None else ref[l]
+                for r, name in enumerate(i32_rows):
+                    cio_ref[r, :, :] = S[name][:, :]
+                for r, name in enumerate(f32_terms):
+                    tfo_ref[r, :, :] = S[name][:, :]
+                for r, name in enumerate(i32_terms):
+                    tio_ref[r, :, :] = S[name][:, :]
 
     return kernel
 
@@ -344,7 +405,7 @@ def _make_kernel(grid_d, Bblk, Lp, k, gap_series, mode, lengths, traceback, quan
     jax.jit,
     static_argnames=(
         "gap_series", "mode", "traceback", "lengths", "block_b", "interpret",
-        "hs_body", "unroll",
+        "hs_body", "unroll", "chunked", "first", "d_base", "total_d",
     ),
 )
 def wavefront_dp_pallas(
@@ -359,6 +420,11 @@ def wavefront_dp_pallas(
     interpret: bool | None = None,
     hs_body: bool = False,
     unroll: int = 1,
+    chunked: bool = False,
+    first: bool = True,
+    d_base: int = 2,
+    total_d: int | None = None,
+    carry_in=None,
 ):
     """Pallas TPU implementation of kernels.scan.wavefront_dp (same contract;
     ``length``/``tcode`` outputs are zeros when the respective carries are
@@ -379,7 +445,9 @@ def wavefront_dp_pallas(
         D = rows + 2
     else:
         D, B, Lp = hs.shape
-    steps = D - 2
+    if chunked and not hs_body:
+        raise ValueError("chunked execution requires the body hs layout")
+    steps = hs.shape[0] if hs_body else D - 2
     if unroll > 1 and (not hs_body or steps % unroll):
         unroll = 1  # unrolling needs the padded body layout
     grid_d = steps // unroll
@@ -414,12 +482,14 @@ def wavefront_dp_pallas(
     B_run = B + pad
     nb = B_run // Bblk
 
-    cum = jnp.asarray(_gap_prefix(gap_series, D), dtype=jnp.float32)[None, :]
+    cum_d = total_d if total_d is not None else D
+    cum = jnp.asarray(_gap_prefix(gap_series, cum_d), dtype=jnp.float32)[None, :]
     lx2 = lx.astype(jnp.int32)[:, None]
     ly2 = ly.astype(jnp.int32)[:, None]
 
     kernel = _make_kernel(
-        grid_d, Bblk, Lp, k, tuple(gap_series), mode, lengths, traceback, quantized, unroll
+        grid_d, Bblk, Lp, k, tuple(gap_series), mode, lengths, traceback,
+        quantized, unroll, chunked, first, d_base,
     )
 
     f32 = jnp.float32
@@ -455,6 +525,31 @@ def wavefront_dp_pallas(
     inputs = [cum, hs, lx2, ly2]
     out_specs = (bspec(), bspec(), bspec(), bspec(), bspec(), tb_spec)
 
+    if chunked:
+        f32_rows, i32_rows, f32_terms, i32_terms = _carry_rows(k, lengths, traceback)
+        nrf, nri = len(f32_rows), max(1, len(i32_rows))
+        ntf, nti = len(f32_terms), len(i32_terms)
+        row_spec = lambda n: pl.BlockSpec(
+            (n, Bblk, Lp), lambda b, d: (0, b, 0), memory_space=pltpu.VMEM
+        )
+        term_spec = lambda n: pl.BlockSpec(
+            (n, Bblk, 1), lambda b, d: (0, b, 0), memory_space=pltpu.VMEM
+        )
+        carry_specs = [row_spec(nrf), row_spec(nri), term_spec(ntf), term_spec(nti)]
+        carry_shapes = (
+            jax.ShapeDtypeStruct((nrf, B_run, Lp), f32),
+            jax.ShapeDtypeStruct((nri, B_run, Lp), i32),
+            jax.ShapeDtypeStruct((ntf, B_run, 1), f32),
+            jax.ShapeDtypeStruct((nti, B_run, 1), i32),
+        )
+        if not first:
+            if carry_in is None:
+                raise ValueError("non-first chunk requires carry_in")
+            in_specs = in_specs + carry_specs
+            inputs = inputs + list(carry_in)
+        out_shape = out_shape + carry_shapes
+        out_specs = out_specs + tuple(carry_specs)
+
     scratch = []
     for name in _scratch_names(k, lengths, traceback):
         if name in ("tval", "tlen"):
@@ -468,7 +563,7 @@ def wavefront_dp_pallas(
         else:  # m1, r1v, r2v, lm1, r1l, r2l
             scratch.append(pltpu.VMEM((Bblk, Lp), f32))
 
-    score, length, ti, tj, tcode, tb = pl.pallas_call(
+    results = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
@@ -477,6 +572,7 @@ def wavefront_dp_pallas(
         scratch_shapes=scratch,
         interpret=bool(interpret),
     )(*inputs)
+    score, length, ti, tj, tcode, tb = results[:6]
 
     out = {
         "score": score[:B, 0],
@@ -487,4 +583,6 @@ def wavefront_dp_pallas(
     }
     if traceback:
         out["tb"] = tb[:, :B, :]
+    if chunked:
+        out["carry"] = tuple(results[6:10])
     return out

@@ -200,7 +200,27 @@ def align_pairs_batched(
                     traceback=traceback,
                 )  # mesh path: device_put with shardings handled inside
             else:
-                if backend == "pallas":
+                if backend == "pallas" and by > bucket_sizes[-1]:
+                    # Oversized target: chunked diagonal execution — only
+                    # one band chunk of skewed scores exists at a time, so
+                    # Ly is unbounded (kernels.chunked).
+                    from .chunked import wavefront_dp_chunked
+
+                    out = wavefront_dp_chunked(
+                        cx,
+                        inv_x,
+                        cy,
+                        inv_y,
+                        np.asarray(matrix.as_f32()),
+                        lx,
+                        ly,
+                        gap_series=tuple(gap_series),
+                        mode=mode,
+                        traceback=traceback,
+                    )
+                    if traceback:
+                        out["tb"] = np.concatenate(out.pop("tb_chunks"), axis=0)
+                elif backend == "pallas":
                     # Fused H+skew producer (kernels.fused_scores): the pair
                     # score matrix never touches HBM.  One-hot profiles
                     # additionally ship integer scores scale-free (int8/16).

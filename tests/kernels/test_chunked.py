@@ -65,3 +65,27 @@ def test_chunked_uneven_tail():
     )
     np.testing.assert_array_equal(np.asarray(want["score"]), np.asarray(got["score"]))
     np.testing.assert_array_equal(np.asarray(want["length"]), np.asarray(got["length"]))
+
+
+def test_batch_driver_routes_oversized_targets_through_chunks():
+    """align_pairs_batched with a huge-target problem (beyond the largest
+    bucket) uses the chunked path and still matches the oracle exactly."""
+    from praline_tpu.kernels import align_pairs_batched
+    from praline_tpu.oracle import align_profiles
+    from praline_tpu.types import Profile
+
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, 20, size=45).astype(np.int32)
+    y = rng.integers(0, 20, size=400).astype(np.int32)
+    y[200:245] = x  # planted hit
+    px = Profile.from_tokens(x, ALPHABET_AA)
+    py = Profile.from_tokens(np.ascontiguousarray(y), ALPHABET_AA)
+    for mode in ("local", "semiglobal"):
+        (r,) = align_pairs_batched(
+            [(px, py)], B62, (11, 1), mode, traceback=True,
+            bucket_sizes=(63,), backend="pallas",
+        )
+        want = align_profiles(px, py, B62, (11, 1), mode)
+        assert r.score == want.score, mode
+        np.testing.assert_array_equal(r.cols_x, want.cols_x)
+        np.testing.assert_array_equal(r.cols_y, want.cols_y)

@@ -14,6 +14,7 @@ Degenerate problems (an empty side) route to the oracle's closed form.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Sequence as Seq
 
 import numpy as np
@@ -21,6 +22,7 @@ import numpy as np
 from ..types import Profile, ScoreMatrix
 from ..oracle.align import AlignResult, _degenerate
 from ..oracle.score import check_exactness, column_inverses, pair_score_matrix
+from .replay import moves_to_result, replay_moves
 from .traceback import replay_traceback
 
 
@@ -32,6 +34,57 @@ class PairResult:
     length: float
     ti: int
     tj: int
+
+
+@functools.lru_cache(maxsize=1)
+def _dispatch_jit():
+    """One executable per dispatch: score producer + wavefront DP (+ on-device
+    traceback replay for global/semiglobal).  Fusing these into a single jit
+    halves the round trips per batch versus separate jitted calls — on remote
+    runtimes each dispatch costs a full relay round trip — and the replay
+    output (a 1-byte-per-column move tape) replaces the O(L^2) traceback bit
+    tensor on the wire."""
+    import jax
+    import jax.numpy as jnp
+
+    from .fused_scores import fused_skewed_scores
+    from .pallas_dp import wavefront_dp_pallas
+    from .scan import wavefront_dp
+    from .scores import skewed_pair_scores
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=("gap_series", "mode", "traceback", "backend", "qd", "replay"),
+    )
+    def run(cx, inv_x, cy, inv_y, s, lx, ly, *, gap_series, mode, traceback,
+            backend, qd, replay):
+        if backend == "pallas":
+            hs = fused_skewed_scores(
+                cx, inv_x, cy, inv_y, s,
+                out_dtype=qd if qd is not None else jnp.float32,
+                scaled=qd is None,
+            )
+            out = wavefront_dp_pallas(
+                hs, lx, ly, gap_series=gap_series, mode=mode,
+                traceback=traceback, hs_body=True,
+            )
+        else:
+            hs = skewed_pair_scores(cx, inv_x, cy, inv_y, s)
+            out = wavefront_dp(
+                hs, lx, ly, gap_series=gap_series, mode=mode, traceback=traceback
+            )
+        if replay:
+            moves, nmoves = replay_moves(
+                out["tb"], out["ti"], out["tj"], out["tcode"],
+                gap_series=gap_series, mode=mode,
+                steps=cx.shape[1] + cy.shape[1],
+            )
+            out = {k: v for k, v in out.items() if k != "tb"}
+            out["moves"] = moves
+            out["nmoves"] = nmoves
+        return out
+
+    return run
 
 
 def _bucket(n: int, buckets: tuple[int, ...]) -> int:
@@ -73,14 +126,9 @@ def align_pairs_batched(
     import jax
     import jax.numpy as jnp
 
-    from .scan import wavefront_dp
-    from .scores import skewed_pair_scores
-
     if backend == "auto":
         # Pallas on TPU (5x+ the XLA scan); the scan path elsewhere.
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
-    if backend == "pallas":
-        from .pallas_dp import wavefront_dp_pallas as wavefront_dp  # noqa: F811
 
     results: list = [None] * len(pairs)
 
@@ -100,12 +148,17 @@ def align_pairs_batched(
 
     s_dev = jnp.asarray(matrix.as_f32())
 
+    # Device replay (kernels.replay) covers global/semiglobal traceback; the
+    # local stop-at-zero walk stays on the host (needs the carried value).
+    device_replay = traceback and mode in ("global", "semiglobal")
+
     # Host<->device pipelining (SURVEY.md §3.2 "PP" row): dispatches are
     # enqueued asynchronously and unpacked later, so chunk k+1's transfer
-    # and compute overlap chunk k's host-side unpack/traceback.  Traceback
-    # outputs are O(L^2) bytes per problem, so in-flight depth is bounded.
+    # and compute overlap chunk k's host-side unpack/traceback.  Only the
+    # host-replay path ships O(L^2) traceback bytes per problem, so only it
+    # bounds the in-flight depth tightly.
     in_flight: list = []
-    max_in_flight = 2 if traceback else 64
+    max_in_flight = 4 if (traceback and not device_replay) else 64
 
     def drain(limit: int) -> None:
         while len(in_flight) > limit:
@@ -122,10 +175,24 @@ def align_pairs_batched(
         tcode = np.asarray(out["tcode"])
         if mode == "semiglobal":
             length = length + (lx - ti) + (ly - tj)
-        if traceback:
+        if "moves" in out:
+            moves = np.asarray(out["moves"])  # (B, steps)
+            nmoves = np.asarray(out["nmoves"])
+            for b, idx in enumerate(chunk):
+                results[idx] = moves_to_result(
+                    moves[b], int(nmoves[b]), float(score[b]),
+                    int(ti[b]), int(tj[b]), int(lx[b]), int(ly[b]), mode,
+                )
+        elif traceback:
             tb = np.asarray(out["tb"])  # (Dscan, B, Lp)
             for b, idx in enumerate(chunk):
-                h = pair_score_matrix(pxs[b], pys[b], matrix)
+                # The carried-value walk needs cell scores only in local
+                # mode; global/semiglobal replay never reads h.
+                h = (
+                    pair_score_matrix(pxs[b], pys[b], matrix)
+                    if mode == "local"
+                    else None
+                )
                 results[idx] = replay_traceback(
                     tb[:, b, :],
                     h,
@@ -220,46 +287,32 @@ def align_pairs_batched(
                     )
                     if traceback:
                         out["tb"] = np.concatenate(out.pop("tb_chunks"), axis=0)
-                elif backend == "pallas":
-                    # Fused H+skew producer (kernels.fused_scores): the pair
-                    # score matrix never touches HBM.  One-hot profiles
-                    # additionally ship integer scores scale-free (int8/16).
-                    from .fused_scores import fused_skewed_scores
-                    from .pallas_dp import wavefront_dp_pallas
-                    from .scores import quantized_dtype_for
-
-                    max_nx = max(float(p.counts.sum(axis=1).max(initial=0.0)) for p in pxs)
-                    max_ny = max(float(p.counts.sum(axis=1).max(initial=0.0)) for p in pys)
-                    qd = None
-                    if max_nx <= 1.0 and max_ny <= 1.0:  # one-hot: inverses all 1
-                        qd = quantized_dtype_for(float(np.abs(matrix.scores).max()))
-                    hs = fused_skewed_scores(
-                        d_cx,
-                        d_ivx,
-                        d_cy,
-                        d_ivy,
-                        s_dev,
-                        out_dtype=qd if qd is not None else jnp.float32,
-                        scaled=qd is None,
-                    )
-                    out = wavefront_dp_pallas(
-                        hs,
-                        d_lx,
-                        d_ly,
-                        gap_series=tuple(gap_series),
-                        mode=mode,
-                        traceback=traceback,
-                        hs_body=True,
-                    )
                 else:
-                    hs = skewed_pair_scores(d_cx, d_ivx, d_cy, d_ivy, s_dev)
-                    out = wavefront_dp(
-                        hs,
-                        d_lx,
-                        d_ly,
+                    # One fused executable per dispatch: producer + DP
+                    # (+ device replay).  On the Pallas path the fused
+                    # H+skew producer (kernels.fused_scores) keeps the pair
+                    # score matrix out of HBM, and one-hot profiles ship
+                    # integer scores scale-free (int8/16).
+                    qd = None
+                    if backend == "pallas":
+                        from .scores import quantized_dtype_for
+
+                        max_nx = max(
+                            float(p.counts.sum(axis=1).max(initial=0.0)) for p in pxs
+                        )
+                        max_ny = max(
+                            float(p.counts.sum(axis=1).max(initial=0.0)) for p in pys
+                        )
+                        if max_nx <= 1.0 and max_ny <= 1.0:  # one-hot: inv all 1
+                            qd = quantized_dtype_for(float(np.abs(matrix.scores).max()))
+                    out = _dispatch_jit()(
+                        d_cx, d_ivx, d_cy, d_ivy, s_dev, d_lx, d_ly,
                         gap_series=tuple(gap_series),
                         mode=mode,
                         traceback=traceback,
+                        backend=backend,
+                        qd=qd,
+                        replay=device_replay,
                     )
             in_flight.append((chunk, pxs, pys, lx, ly, out))
             drain(max_in_flight)

@@ -24,7 +24,7 @@ PTR_NONE = 31
 
 def replay_traceback(
     tb: np.ndarray,  # uint8[Dscan, Lp] bits for ONE problem (lane i, diag d-2)
-    h: np.ndarray,  # f32[lx, ly] column scores (host copy, exact)
+    h: np.ndarray | None,  # f32[lx, ly] column scores; only local mode reads it
     score: float,
     ti: int,
     tj: int,
@@ -36,6 +36,9 @@ def replay_traceback(
 ) -> AlignResult:
     k = len(gap_series)
     g = gap_series
+    local = mode == "local"
+    if local and h is None:
+        raise ValueError("local-mode replay requires the cell score matrix h")
 
     def mptr(i: int, j: int) -> int:
         return int(tb[i + j - 2, i]) & 31
@@ -79,7 +82,8 @@ def replay_traceback(
             rx.append(i - 1)
             ry.append(j - 1)
             ptr = mptr(i, j)
-            val = val - float(h[i - 1, j - 1])
+            if local:
+                val = val - float(h[i - 1, j - 1])
             i -= 1
             j -= 1
             if ptr == PTR_NONE:
@@ -99,7 +103,8 @@ def replay_traceback(
                     break
                 lvl = min(i, k)
                 continue
-            val = val + float(g[lvl - 1])
+            if local:
+                val = val + float(g[lvl - 1])
             if lvl == 1 and k == 1:
                 stay = stay_x(i, j)
                 i -= 1
@@ -125,7 +130,8 @@ def replay_traceback(
                     break
                 lvl = min(j, k)
                 continue
-            val = val + float(g[lvl - 1])
+            if local:
+                val = val + float(g[lvl - 1])
             if lvl == 1 and k == 1:
                 stay = stay_y(i, j)
                 j -= 1

@@ -34,7 +34,7 @@ from ..oracle.align import AlignResult
 from ..oracle.merge import full_coverage_path, inject_gaps
 from ..oracle.msa import oracle_msa
 from ..oracle.preprofile import star_counts, project_to_master
-from ..oracle.profile import member_profile, node_profile
+from ..oracle.profile import compose_profiles, member_profile, node_profile
 from ..oracle.tree import build_guide_tree, similarity_from_scores
 
 
@@ -177,23 +177,28 @@ def batched_progressive_merge(
     config: PralineConfig,
     mesh=None,
 ) -> Alignment:
-    """Tree walk with one batched profile-profile DP call per tree level."""
+    """Tree walk on device: one dispatch for the whole stage when possible
+    (msa.device_merge), else one batched profile-profile DP call per tree
+    level."""
     from ..kernels import align_pairs_batched
+
+    if config.backend != "oracle" and mesh is None:
+        from .device_merge import try_device_merge
+
+        merged = try_device_merge(sequences, tree, matrix, config)
+        if merged is not None:
+            return merged
 
     nodes: dict[int, Alignment] = {
         i: Alignment.single(seq) for i, seq in enumerate(sequences)
     }
-    profiles: dict[int, Profile] = {}
+    profiles: dict[int, Profile] = {
+        i: node_profile(nodes[i]) for i in range(len(sequences))
+    }
     n = tree.num_leaves
 
     for level in _merge_levels(tree):
-        pairs = []
-        for k in level:
-            l, r = tree.joins[k]
-            for node in (l, r):
-                if node not in profiles:
-                    profiles[node] = node_profile(nodes[node])
-            pairs.append((profiles[tree.joins[k][0]], profiles[tree.joins[k][1]]))
+        pairs = [(profiles[tree.joins[k][0]], profiles[tree.joins[k][1]]) for k in level]
         results = align_pairs_batched(
             pairs,
             matrix,
@@ -210,13 +215,15 @@ def batched_progressive_merge(
         for k, res in zip(level, results):
             l, r = tree.joins[k]
             left, right = nodes.pop(l), nodes.pop(r)
+            pl, pr = profiles.pop(l), profiles.pop(r)
             cols_x, cols_y = full_coverage_path(
                 res, left.num_columns, right.num_columns
             )
             rows = inject_gaps(left.rows, right.rows, cols_x, cols_y)
             nodes[n + k] = Alignment(left.members + right.members, rows)
-            profiles.pop(l, None)
-            profiles.pop(r, None)
+            profiles[n + k] = compose_profiles(
+                pl, pr, left.num_members, right.num_members, cols_x, cols_y
+            )
 
     root = nodes[tree.root]
     index_of = {id(m): k for k, m in enumerate(root.members)}

@@ -70,14 +70,29 @@ def progressive_merge(
     mode: str = "global",
 ) -> Alignment:
     """Post-order tree walk producing the root MSA, rows in INPUT order
-    (§8.6: emission record order = input order)."""
+    (§8.6: emission record order = input order).
+
+    Node profiles COMPOSE bottom-up along the merge paths
+    (profile.compose_profiles — the pinned semantics shared with the
+    batched pipeline and the on-device merge stage) rather than being
+    recomputed from member rows at every node.
+    """
+    from .profile import compose_profiles
+
     nodes: dict[int, Alignment] = {
         i: Alignment.single(seq) for i, seq in enumerate(sequences)
     }
+    profiles: dict[int, "object"] = {i: node_profile(nodes[i]) for i in nodes}
     n = tree.num_leaves
     for k, (l, r) in enumerate(tree.joins):
-        nodes[n + k] = merge_alignments(
-            nodes.pop(l), nodes.pop(r), matrix, gap_series, mode
+        left, right = nodes.pop(l), nodes.pop(r)
+        pl, pr = profiles.pop(l), profiles.pop(r)
+        result = align_scores(pair_score_matrix(pl, pr, matrix), gap_series, mode)
+        cols_x, cols_y = full_coverage_path(result, left.num_columns, right.num_columns)
+        rows = inject_gaps(left.rows, right.rows, cols_x, cols_y)
+        nodes[n + k] = Alignment(left.members + right.members, rows)
+        profiles[n + k] = compose_profiles(
+            pl, pr, left.num_members, right.num_members, cols_x, cols_y
         )
     root = nodes[tree.root]
 

@@ -53,6 +53,41 @@ def member_profile(seq: Sequence) -> Profile:
     return prof if prof is not None else seq.one_hot_profile()
 
 
+def compose_profiles(
+    left: Profile,
+    right: Profile,
+    n_left: int,
+    n_right: int,
+    cols_x: np.ndarray,
+    cols_y: np.ndarray,
+) -> Profile:
+    """Profile of a merged node from its CHILD profiles and the merge path.
+
+    Pinned compositional semantics (canonical, SURVEY.md §0/§8.5): column c
+    takes the left child's (possibly already-rescaled) column ``cols_x[c]``
+    — or, at an inserted gap column, ``n_left`` gap counts (one per left
+    member) — plus the right analog; over-limit columns then rescale at this
+    node.  When no rescale triggers anywhere this equals recomputing
+    :func:`node_profile` from the member rows, and it is what the on-device
+    merge path (msa.device_merge) implements, so oracle, pipeline and device
+    agree bit-exactly by construction.
+    """
+    C = cols_x.shape[0]
+    A = left.counts.shape[1]
+    counts = np.zeros((C, A), dtype=np.float32)
+    gaps = np.zeros(C, dtype=np.float32)
+    xm = cols_x != GAP
+    counts[xm] += left.counts[cols_x[xm]]
+    gaps[xm] += left.gaps[cols_x[xm]]
+    gaps[~xm] += np.float32(n_left)
+    ym = cols_y != GAP
+    counts[ym] += right.counts[cols_y[ym]]
+    gaps[ym] += right.gaps[cols_y[ym]]
+    gaps[~ym] += np.float32(n_right)
+    counts, gaps = rescale_counts(counts, gaps)
+    return Profile(counts, gaps, left.alphabet)
+
+
 def node_profile(alignment: Alignment) -> Profile:
     """Profile of an alignment node for progressive merging.
 

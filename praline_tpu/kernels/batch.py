@@ -36,15 +36,11 @@ class PairResult:
     tj: int
 
 
-@functools.lru_cache(maxsize=1)
-def _dispatch_jit():
-    """One executable per dispatch: score producer + wavefront DP (+ on-device
-    traceback replay for global/semiglobal).  Fusing these into a single jit
-    halves the round trips per batch versus separate jitted calls — on remote
-    runtimes each dispatch costs a full relay round trip — and the replay
-    output (a 1-byte-per-column move tape) replaces the O(L^2) traceback bit
-    tensor on the wire."""
-    import jax
+def _dispatch_core(cx, inv_x, cy, inv_y, s, lx, ly, *, gap_series, mode,
+                   traceback, backend, qd, replay):
+    """Score producer + wavefront DP (+ on-device traceback replay) — the
+    shared body of every batched dispatch, traced inside one jit so each
+    batch costs a single executable and a single round trip."""
     import jax.numpy as jnp
 
     from .fused_scores import fused_skewed_scores
@@ -52,37 +48,72 @@ def _dispatch_jit():
     from .scan import wavefront_dp
     from .scores import skewed_pair_scores
 
+    if backend == "pallas":
+        hs = fused_skewed_scores(
+            cx, inv_x, cy, inv_y, s,
+            out_dtype=qd if qd is not None else jnp.float32,
+            scaled=qd is None,
+        )
+        out = wavefront_dp_pallas(
+            hs, lx, ly, gap_series=gap_series, mode=mode,
+            traceback=traceback, hs_body=True,
+        )
+    else:
+        hs = skewed_pair_scores(cx, inv_x, cy, inv_y, s)
+        out = wavefront_dp(
+            hs, lx, ly, gap_series=gap_series, mode=mode, traceback=traceback
+        )
+    if replay:
+        moves, nmoves = replay_moves(
+            out["tb"], out["ti"], out["tj"], out["tcode"],
+            gap_series=gap_series, mode=mode,
+            steps=cx.shape[1] + cy.shape[1],
+        )
+        out = {k: v for k, v in out.items() if k != "tb"}
+        out["moves"] = moves
+        out["nmoves"] = nmoves
+    return out
+
+
+@functools.lru_cache(maxsize=1)
+def _indexed_jit():
+    """Indexed dispatch: problems are (ix, iy) rows into device-resident
+    profile stacks, so each distinct profile crosses the host->device link
+    exactly ONCE per stage instead of once per pair — the all-pairs stage
+    ships O(N) profiles + O(N^2) int32 indices instead of O(N^2) padded
+    count tensors (the round-1 transfer bottleneck).  One-hot stacks ship as
+    token arrays (A-times smaller) and expand on device; integer count
+    stacks ship narrow (uint8/uint16) and widen on device."""
+    import jax
+    import jax.numpy as jnp
+
     @functools.partial(
         jax.jit,
-        static_argnames=("gap_series", "mode", "traceback", "backend", "qd", "replay"),
+        static_argnames=(
+            "gap_series", "mode", "traceback", "backend", "qd", "replay",
+            "onehot_x", "onehot_y", "A",
+        ),
     )
-    def run(cx, inv_x, cy, inv_y, s, lx, ly, *, gap_series, mode, traceback,
-            backend, qd, replay):
-        if backend == "pallas":
-            hs = fused_skewed_scores(
-                cx, inv_x, cy, inv_y, s,
-                out_dtype=qd if qd is not None else jnp.float32,
-                scaled=qd is None,
-            )
-            out = wavefront_dp_pallas(
-                hs, lx, ly, gap_series=gap_series, mode=mode,
-                traceback=traceback, hs_body=True,
-            )
-        else:
-            hs = skewed_pair_scores(cx, inv_x, cy, inv_y, s)
-            out = wavefront_dp(
-                hs, lx, ly, gap_series=gap_series, mode=mode, traceback=traceback
-            )
-        if replay:
-            moves, nmoves = replay_moves(
-                out["tb"], out["ti"], out["tj"], out["tcode"],
-                gap_series=gap_series, mode=mode,
-                steps=cx.shape[1] + cy.shape[1],
-            )
-            out = {k: v for k, v in out.items() if k != "tb"}
-            out["moves"] = moves
-            out["nmoves"] = nmoves
-        return out
+    def run(sx, ivx, lensx, sy, ivy, lensy, ix, iy, s, *, gap_series, mode,
+            traceback, backend, qd, replay, onehot_x, onehot_y, A):
+        def side(stack, inv, lens, idx, onehot):
+            l = jnp.take(lens, idx)
+            if onehot:
+                toks = jnp.take(stack, idx, axis=0).astype(jnp.int32)
+                c = jax.nn.one_hot(toks, A, dtype=jnp.float32)
+                iv = jnp.ones(c.shape[:2], jnp.float32)
+            else:
+                c = jnp.take(stack, idx, axis=0).astype(jnp.float32)
+                iv = jnp.take(inv, idx, axis=0)
+            return c, iv, l
+
+        cx, d_ivx, lx = side(sx, ivx, lensx, ix, onehot_x)
+        cy, d_ivy, ly = side(sy, ivy, lensy, iy, onehot_y)
+        return _dispatch_core(
+            cx, d_ivx, cy, d_ivy, s, lx, ly,
+            gap_series=gap_series, mode=mode, traceback=traceback,
+            backend=backend, qd=qd, replay=replay,
+        )
 
     return run
 
@@ -132,8 +163,23 @@ def align_pairs_batched(
 
     results: list = [None] * len(pairs)
 
+    # Unique-profile registry: pairs share profiles heavily (the all-pairs
+    # stage references each of N profiles N-1 times), so each distinct
+    # profile object is uploaded once and pairs dispatch as index arrays.
+    uniq_pos: dict[int, int] = {}
+    uniq: list[Profile] = []
+
+    def _reg(p: Profile) -> int:
+        k = uniq_pos.get(id(p))
+        if k is None:
+            k = len(uniq)
+            uniq_pos[id(p)] = k
+            uniq.append(p)
+        return k
+
     # Group problem indices by (bucket_x, bucket_y).
     groups: dict[tuple[int, int], list[int]] = {}
+    pair_reg: list[tuple[int, int] | None] = [None] * len(pairs)
     for idx, (px, py) in enumerate(pairs):
         if px.length == 0 or py.length == 0:
             if traceback:
@@ -143,10 +189,61 @@ def align_pairs_batched(
                 results[idx] = PairResult(r.score, float(r.length), px.length, py.length)
             continue
         check_exactness(px, py, matrix)
+        pair_reg[idx] = (_reg(px), _reg(py))
         key = (_bucket(px.length, bucket_sizes), _bucket(py.length, bucket_sizes))
         groups.setdefault(key, []).append(idx)
 
     s_dev = jnp.asarray(matrix.as_f32())
+    A = matrix.alphabet.size
+    max_s = float(np.abs(matrix.scores).max())
+
+    by_bucket: dict[int, list[int]] = {}
+    for u, p in enumerate(uniq):
+        by_bucket.setdefault(_bucket(p.length, bucket_sizes), []).append(u)
+
+    stack_cache: dict[int, dict] = {}
+
+    def _stack(b: int) -> dict:
+        """Device-resident stack of every registered profile in bucket b.
+
+        One-hot profiles ship as token rows (pad token = A, which one-hot
+        expands to a zero column); integer-count profiles ship in the
+        narrowest integer dtype that holds them.
+        """
+        st = stack_cache.get(b)
+        if st is not None:
+            return st
+        ids = by_bucket[b]
+        profs = [uniq[u] for u in ids]
+        lens = np.array([p.length for p in profs], dtype=np.int32)
+        onehot = all(
+            bool(np.all(p.counts.sum(axis=1) == 1.0)) for p in profs
+        )
+        if onehot:
+            tok_dt = np.int8 if A < 127 else np.int32
+            toks = np.full((len(profs), b), A, dtype=tok_dt)
+            for r, p in enumerate(profs):
+                toks[r, : p.length] = np.argmax(p.counts, axis=1)
+            stack, inv = jnp.asarray(toks), jnp.zeros((1, 1), jnp.float32)
+        else:
+            cmax = max(float(p.counts.max(initial=0.0)) for p in profs)
+            dt = np.uint8 if cmax < 256 else (np.uint16 if cmax < 65536 else np.float32)
+            counts = np.zeros((len(profs), b, A), dtype=dt)
+            invs = np.ones((len(profs), b), np.float32)
+            for r, p in enumerate(profs):
+                counts[r, : p.length] = p.counts
+                invs[r, : p.length] = column_inverses(p)
+            stack, inv = jnp.asarray(counts), jnp.asarray(invs)
+        st = dict(
+            onehot=onehot,
+            stack=stack,
+            inv=inv,
+            lens=jnp.asarray(lens),
+            host_lens=lens,
+            pos={u: r for r, u in enumerate(ids)},
+        )
+        stack_cache[b] = st
+        return st
 
     # Device replay (kernels.replay) covers global/semiglobal traceback; the
     # local stop-at-zero walk stays on the host (needs the carried value).
@@ -211,18 +308,17 @@ def align_pairs_batched(
                     float(score[b]), float(length[b]), int(ti[b]), int(tj[b])
                 )
 
-    dummy = None
     for (bx, by), idxs in sorted(groups.items()):
+        oversized = backend == "pallas" and by > bucket_sizes[-1] and mesh is None
         for start in range(0, len(idxs), batch_pairs):
             chunk = idxs[start : start + batch_pairs]
             pxs = [pairs[i][0] for i in chunk]
             pys = [pairs[i][1] for i in chunk]
-            # Pad the batch with trivial length-1 problems (results discarded
-            # below): to {32, 128, 512, ...} (powers of four with a floor of
-            # 32), bounding compiled-shape variants to ~3 per bucket — each
-            # new executable costs seconds of upload/init on remote
-            # runtimes, which dominates small-MSA wall clock.  Also round to
-            # a multiple of the mesh's pair axis when sharded.
+            # Pad the batch to {32, 128, 512, ...} (powers of four with a
+            # floor of 32), bounding compiled-shape variants to ~3 per
+            # bucket — each new executable costs seconds of upload/init on
+            # remote runtimes, which dominates small-MSA wall clock.  Also
+            # round to a multiple of the mesh's pair axis when sharded.
             target = 32
             while target < len(chunk):
                 target *= 4
@@ -233,87 +329,72 @@ def align_pairs_batched(
                 n_dev = int(np.prod(mesh.devices.shape))
                 target = target + (-target) % n_dev
             pad = max(0, target - len(chunk))
-            if pad:
-                if dummy is None:
-                    A = matrix.alphabet.size
-                    one = np.zeros((1, A), np.float32)
-                    one[0, 0] = 1.0
-                    dummy = Profile(one, np.zeros(1, np.float32), matrix.alphabet)
-                pxs = pxs + [dummy] * pad
-                pys = pys + [dummy] * pad
-            cx, inv_x = _pad_counts(pxs, bx)
-            cy, inv_y = _pad_counts(pys, by)
-            lx = np.array([p.length for p in pxs], dtype=np.int32)
-            ly = np.array([p.length for p in pys], dtype=np.int32)
-            d_cx, d_ivx, d_cy, d_ivy, d_lx, d_ly = (
-                jnp.asarray(cx), jnp.asarray(inv_x), jnp.asarray(cy),
-                jnp.asarray(inv_y), jnp.asarray(lx), jnp.asarray(ly),
-            )
 
-            if mesh is not None:
-                from ..dist.allpairs import sharded_wavefront_dp
+            if mesh is not None or oversized:
+                # Padded-array paths: the sharded mesh dispatch and the
+                # chunked oversized-Ly execution consume materialized count
+                # tensors (pad problems repeat the first problem; their
+                # output rows are discarded).
+                if pad:
+                    pxs = pxs + [pxs[0]] * pad
+                    pys = pys + [pys[0]] * pad
+                cx, inv_x = _pad_counts(pxs, bx)
+                cy, inv_y = _pad_counts(pys, by)
+                lx = np.array([p.length for p in pxs], dtype=np.int32)
+                ly = np.array([p.length for p in pys], dtype=np.int32)
+                if mesh is not None:
+                    from ..dist.allpairs import sharded_wavefront_dp
 
-                out = sharded_wavefront_dp(
-                    mesh,
-                    jnp.asarray(cx),
-                    jnp.asarray(inv_x),
-                    jnp.asarray(cy),
-                    jnp.asarray(inv_y),
-                    s_dev,
-                    jnp.asarray(lx),
-                    jnp.asarray(ly),
-                    tuple(gap_series),
-                    mode,
-                    traceback=traceback,
-                )  # mesh path: device_put with shardings handled inside
-            else:
-                if backend == "pallas" and by > bucket_sizes[-1]:
+                    out = sharded_wavefront_dp(
+                        mesh,
+                        jnp.asarray(cx), jnp.asarray(inv_x),
+                        jnp.asarray(cy), jnp.asarray(inv_y),
+                        s_dev, jnp.asarray(lx), jnp.asarray(ly),
+                        tuple(gap_series), mode, traceback=traceback,
+                    )
+                else:
                     # Oversized target: chunked diagonal execution — only
                     # one band chunk of skewed scores exists at a time, so
                     # Ly is unbounded (kernels.chunked).
                     from .chunked import wavefront_dp_chunked
 
                     out = wavefront_dp_chunked(
-                        cx,
-                        inv_x,
-                        cy,
-                        inv_y,
-                        np.asarray(matrix.as_f32()),
-                        lx,
-                        ly,
-                        gap_series=tuple(gap_series),
-                        mode=mode,
+                        cx, inv_x, cy, inv_y,
+                        np.asarray(matrix.as_f32()), lx, ly,
+                        gap_series=tuple(gap_series), mode=mode,
                         traceback=traceback,
                     )
                     if traceback:
                         out["tb"] = np.concatenate(out.pop("tb_chunks"), axis=0)
-                else:
-                    # One fused executable per dispatch: producer + DP
-                    # (+ device replay).  On the Pallas path the fused
-                    # H+skew producer (kernels.fused_scores) keeps the pair
-                    # score matrix out of HBM, and one-hot profiles ship
-                    # integer scores scale-free (int8/16).
-                    qd = None
-                    if backend == "pallas":
-                        from .scores import quantized_dtype_for
+                in_flight.append((chunk, pxs, pys, lx, ly, out))
+                drain(max_in_flight)
+                continue
 
-                        max_nx = max(
-                            float(p.counts.sum(axis=1).max(initial=0.0)) for p in pxs
-                        )
-                        max_ny = max(
-                            float(p.counts.sum(axis=1).max(initial=0.0)) for p in pys
-                        )
-                        if max_nx <= 1.0 and max_ny <= 1.0:  # one-hot: inv all 1
-                            qd = quantized_dtype_for(float(np.abs(matrix.scores).max()))
-                    out = _dispatch_jit()(
-                        d_cx, d_ivx, d_cy, d_ivy, s_dev, d_lx, d_ly,
-                        gap_series=tuple(gap_series),
-                        mode=mode,
-                        traceback=traceback,
-                        backend=backend,
-                        qd=qd,
-                        replay=device_replay,
-                    )
+            # Indexed dispatch: profile stacks live on device; the chunk
+            # ships only two int32 index vectors (pad entries repeat the
+            # first problem; their output rows are discarded).
+            sx_st = _stack(bx)
+            sy_st = _stack(by)
+            ix = np.array([sx_st["pos"][pair_reg[i][0]] for i in chunk], np.int32)
+            iy = np.array([sy_st["pos"][pair_reg[i][1]] for i in chunk], np.int32)
+            if pad:
+                ix = np.concatenate([ix, np.full(pad, ix[0], np.int32)])
+                iy = np.concatenate([iy, np.full(pad, iy[0], np.int32)])
+            lx = sx_st["host_lens"][ix]
+            ly = sy_st["host_lens"][iy]
+            qd = None
+            if backend == "pallas" and sx_st["onehot"] and sy_st["onehot"]:
+                from .scores import quantized_dtype_for
+
+                qd = quantized_dtype_for(max_s)
+            out = _indexed_jit()(
+                sx_st["stack"], sx_st["inv"], sx_st["lens"],
+                sy_st["stack"], sy_st["inv"], sy_st["lens"],
+                jnp.asarray(ix), jnp.asarray(iy), s_dev,
+                gap_series=tuple(gap_series), mode=mode, traceback=traceback,
+                backend=backend, qd=qd, replay=device_replay,
+                onehot_x=sx_st["onehot"], onehot_y=sy_st["onehot"], A=A,
+            )
             in_flight.append((chunk, pxs, pys, lx, ly, out))
             drain(max_in_flight)
     drain(0)

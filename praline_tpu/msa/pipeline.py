@@ -72,9 +72,18 @@ def batched_preprofiles(
         if extra_slaves and i in extra_slaves:
             jobs.extend((i, hit) for hit in extra_slaves[i])
 
-    pairs = [
-        (sequences[i].one_hot_profile(), slave.one_hot_profile()) for i, slave in jobs
-    ]
+    # One profile OBJECT per sequence: the batch driver dedups by identity
+    # and uploads each distinct profile once for the whole stage.
+    hot: dict[int, Profile] = {}
+
+    def _hot(seq: Sequence) -> Profile:
+        p = hot.get(id(seq))
+        if p is None:
+            p = seq.one_hot_profile()
+            hot[id(seq)] = p
+        return p
+
+    pairs = [(_hot(sequences[i]), _hot(slave)) for i, slave in jobs]
     results: list[AlignResult] = align_pairs_batched(
         pairs, matrix, gap_series, mode, traceback=True, **_batch_kwargs(config, mesh)
     )

@@ -62,21 +62,32 @@ def parse_alignment_clustal(text: str, alphabet) -> "object":
         raise ValueError("not a CLUSTAL file (missing header)")
     chunks: dict[str, list[str]] = {}
     order: list[str] = []
+    allowed = (
+        set(alphabet.symbols)
+        | {x.lower() for x in alphabet.symbols}
+        | set("-.")
+        | set(alphabet.aliases)
+        | {a.lower() for a in alphabet.aliases}
+    )
     for raw in lines[1:]:
         if not raw.strip():
             continue
         parts = raw.split()
-        if len(parts) < 2:
-            continue
-        name, seq = parts[0], parts[-1]
         # conservation lines contain only *:. and spaces; data rows start
         # with a name that is not purely conservation markers
-        if set(name) <= set("*:."):
+        if set(parts[0]) <= set("*:."):
             continue
-        if not set(seq) <= set(alphabet.symbols) | set(
-            x.lower() for x in alphabet.symbols
-        ) | set("-.") | set(alphabet.aliases):
+        if len(parts) < 2:
             continue
+        # a data row is ``name  chunk`` with an optional trailing cumulative
+        # residue-count column (clustalw -SEQNOS style)
+        name, seq = parts[0], parts[1]
+        bad = set(seq) - allowed
+        if bad:
+            raise ValueError(
+                f"unrecognized residue characters {''.join(sorted(bad))!r} "
+                f"in CLUSTAL row {name!r}"
+            )
         if name not in chunks:
             chunks[name] = []
             order.append(name)

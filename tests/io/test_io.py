@@ -130,3 +130,30 @@ def test_clustal_roundtrip():
     assert [m.name for m in back.members] == ["a", "b", "c"]
     with pytest.raises(ValueError):
         parse_alignment_clustal("not a clustal file", ALPHABET_AA)
+
+
+def test_clustal_seqnos_and_aliases():
+    """clustalw -SEQNOS style trailing residue counts and lowercase alias
+    residues must parse (ADVICE round 1: rows were silently dropped)."""
+    from praline_tpu.io import parse_alignment_clustal
+
+    text = (
+        "CLUSTAL W (1.83) multiple sequence alignment\n"
+        "\n"
+        "a   MKV-LAW 6\n"
+        "b   MuVQLAW 7\n"
+        "      *  ***\n"
+    )
+    aln = parse_alignment_clustal(text, ALPHABET_AA)
+    assert aln.num_members == 2
+    assert [m.name for m in aln.members] == ["a", "b"]
+    # lowercase alias 'u' maps through U -> C
+    assert ALPHABET_AA.detokenize(aln.rows[1]) == "MCVQLAW"
+
+
+def test_clustal_junk_residue_raises():
+    from praline_tpu.io import parse_alignment_clustal
+
+    text = "CLUSTAL x\n\na  MKV@LAW\n"
+    with pytest.raises(ValueError, match="unrecognized residue"):
+        parse_alignment_clustal(text, ALPHABET_AA)

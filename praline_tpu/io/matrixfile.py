@@ -20,8 +20,13 @@ _DATA_PACKAGE = "praline_tpu.data.matrices"
 
 # Packaged matrix name -> (resource file, alphabet).
 BUILTIN_MATRICES: dict[str, tuple[str, Alphabet]] = {
-    "blosum62": ("blosum62.txt", ALPHABET_AA),
+    "blosum45": ("blosum45.txt", ALPHABET_AA),
     "blosum50": ("blosum50.txt", ALPHABET_AA),
+    "blosum62": ("blosum62.txt", ALPHABET_AA),
+    "blosum80": ("blosum80.txt", ALPHABET_AA),
+    "pam30": ("pam30.txt", ALPHABET_AA),
+    "pam70": ("pam70.txt", ALPHABET_AA),
+    "pam120": ("pam120.txt", ALPHABET_AA),
     "pam250": ("pam250.txt", ALPHABET_AA),
     "dna_simple": ("dna_simple.txt", ALPHABET_DNA),
 }

@@ -164,6 +164,7 @@ def main(argv: list[str] | None = None) -> int:
         batch_pairs=args.batch_pairs,
         backend=args.backend,
         checkpoint_dir=args.checkpoint_dir or args.resume,
+        mesh_shape=(args.devices,) if args.devices else None,
     )
 
     extra_slaves = None
@@ -173,23 +174,18 @@ def main(argv: list[str] | None = None) -> int:
         with METRICS.timed("blast"):
             extra_slaves = find_homologs_blast(sequences, args.blast_db)
 
-    mesh = None
-    if args.devices:
-        from ..dist import make_pair_mesh
-
-        mesh = make_pair_mesh(args.devices)
-
     from ..msa import msa_align
 
+    # --devices is recorded as config.mesh_shape; msa_align builds the mesh.
     t0 = time.perf_counter()
-    alignment = msa_align(sequences, matrix, config, extra_slaves=extra_slaves, mesh=mesh)
+    alignment = msa_align(sequences, matrix, config, extra_slaves=extra_slaves)
     log.info("aligned %d sequences into %d columns in %.2fs",
              alignment.num_members, alignment.num_columns, time.perf_counter() - t0)
 
     if out_format == "clustal":
         pio.write_alignment_clustal(alignment, args.output)
     else:
-        pio.write_alignment_fasta(alignment, args.output)
+        pio.write_alignment_fasta(alignment, args.output, wrap=config.fasta_wrap)
     return 0
 
 

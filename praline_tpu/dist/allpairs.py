@@ -71,7 +71,11 @@ def _build(mesh_hash_key, gap_series: tuple[int, ...], mode: str, traceback: boo
     return jax.jit(fn)
 
 
+# Bounded mesh registry: keys mirror _build's lru_cache so evicting the
+# oldest entry past the cache capacity keeps the two in step (the cached
+# jitted fn holds its own mesh reference; this dict only feeds _build).
 _MESHES: dict = {}
+_MESHES_MAX = 32
 
 
 def sharded_wavefront_dp(mesh, cx, inv_x, cy, inv_y, s, lx, ly, gap_series, mode, traceback=False):
@@ -81,6 +85,9 @@ def sharded_wavefront_dp(mesh, cx, inv_x, cy, inv_y, s, lx, ly, gap_series, mode
     caller pads with dummy problems; kernels.batch does this).
     """
     key = (tuple(mesh.devices.flat), mesh.axis_names)
+    _MESHES.pop(key, None)  # move-to-end so hot meshes never age out
     _MESHES[key] = mesh
+    while len(_MESHES) > _MESHES_MAX:
+        _MESHES.pop(next(iter(_MESHES)))
     fn = _build(key, tuple(gap_series), mode, traceback)
     return fn(cx, inv_x, cy, inv_y, s, lx, ly)

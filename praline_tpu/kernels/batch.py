@@ -22,6 +22,7 @@ import numpy as np
 from ..types import Profile, ScoreMatrix
 from ..oracle.align import AlignResult, _degenerate
 from ..oracle.score import check_exactness, column_inverses, pair_score_matrix
+from ..util.metrics import annotate
 from .replay import moves_to_result, replay_moves
 from .traceback import replay_traceback
 
@@ -345,13 +346,14 @@ def align_pairs_batched(
                 if mesh is not None:
                     from ..dist.allpairs import sharded_wavefront_dp
 
-                    out = sharded_wavefront_dp(
-                        mesh,
-                        jnp.asarray(cx), jnp.asarray(inv_x),
-                        jnp.asarray(cy), jnp.asarray(inv_y),
-                        s_dev, jnp.asarray(lx), jnp.asarray(ly),
-                        tuple(gap_series), mode, traceback=traceback,
-                    )
+                    with annotate(f"dispatch:sharded:{bx}x{by}x{len(pxs)}"):
+                        out = sharded_wavefront_dp(
+                            mesh,
+                            jnp.asarray(cx), jnp.asarray(inv_x),
+                            jnp.asarray(cy), jnp.asarray(inv_y),
+                            s_dev, jnp.asarray(lx), jnp.asarray(ly),
+                            tuple(gap_series), mode, traceback=traceback,
+                        )
                 else:
                     # Oversized target: chunked diagonal execution — only
                     # one band chunk of skewed scores exists at a time, so
@@ -387,14 +389,15 @@ def align_pairs_batched(
                 from .scores import quantized_dtype_for
 
                 qd = quantized_dtype_for(max_s)
-            out = _indexed_jit()(
-                sx_st["stack"], sx_st["inv"], sx_st["lens"],
-                sy_st["stack"], sy_st["inv"], sy_st["lens"],
-                jnp.asarray(ix), jnp.asarray(iy), s_dev,
-                gap_series=tuple(gap_series), mode=mode, traceback=traceback,
-                backend=backend, qd=qd, replay=device_replay,
-                onehot_x=sx_st["onehot"], onehot_y=sy_st["onehot"], A=A,
-            )
+            with annotate(f"dispatch:{bx}x{by}x{len(chunk)}"):
+                out = _indexed_jit()(
+                    sx_st["stack"], sx_st["inv"], sx_st["lens"],
+                    sy_st["stack"], sy_st["inv"], sy_st["lens"],
+                    jnp.asarray(ix), jnp.asarray(iy), s_dev,
+                    gap_series=tuple(gap_series), mode=mode, traceback=traceback,
+                    backend=backend, qd=qd, replay=device_replay,
+                    onehot_x=sx_st["onehot"], onehot_y=sy_st["onehot"], A=A,
+                )
             in_flight.append((chunk, pxs, pys, lx, ly, out))
             drain(max_in_flight)
     drain(0)

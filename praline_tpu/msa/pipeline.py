@@ -36,6 +36,7 @@ from ..oracle.msa import oracle_msa
 from ..oracle.preprofile import star_counts, project_to_master
 from ..oracle.profile import compose_profiles, member_profile, node_profile
 from ..oracle.tree import build_guide_tree, similarity_from_scores
+from ..util.metrics import log
 
 
 def _batch_kwargs(config: PralineConfig, mesh=None) -> dict:
@@ -84,6 +85,7 @@ def batched_preprofiles(
         return p
 
     pairs = [(_hot(sequences[i]), _hot(slave)) for i, slave in jobs]
+    log.info("preprofiles: %d master-slave alignments (%s mode)", len(pairs), mode)
     results: list[AlignResult] = align_pairs_batched(
         pairs, matrix, gap_series, mode, traceback=True, **_batch_kwargs(config, mesh)
     )
@@ -161,6 +163,12 @@ def batched_all_pairs(
         for (i, j), s, ln in zip(tile, tile_scores, tile_lengths):
             scores[i, j] = scores[j, i] = float(s)
             lengths[i, j] = lengths[j, i] = int(ln)
+        log.info(
+            "all-pairs: %d/%d pairs done%s",
+            min(t + DISTANCE_TILE_PAIRS, len(index)),
+            len(index),
+            " (from checkpoint)" if loaded is not None else "",
+        )
     if ckpt:
         ckpt.save_distances(scores, lengths)
         ckpt.clear_distance_tiles()
@@ -206,7 +214,9 @@ def batched_progressive_merge(
     }
     n = tree.num_leaves
 
-    for level in _merge_levels(tree):
+    levels = _merge_levels(tree)
+    for li, level in enumerate(levels):
+        log.info("merge: level %d/%d (%d joins)", li + 1, len(levels), len(level))
         pairs = [(profiles[tree.joins[k][0]], profiles[tree.joins[k][1]]) for k in level]
         results = align_pairs_batched(
             pairs,
@@ -265,7 +275,7 @@ def msa_align(
     stage (SURVEY.md §6).
     """
     from ..util.checkpoint import Checkpoint, run_digest
-    from ..util.metrics import METRICS
+    from ..util.metrics import METRICS, maybe_trace
 
     config = config or PralineConfig()
     if not sequences:
@@ -275,49 +285,52 @@ def msa_align(
     if config.backend == "oracle":
         return oracle_msa(sequences, matrix, config, extra_slaves=extra_slaves)
 
+    if mesh is None and config.mesh_shape:
+        from ..dist import make_pair_mesh
+
+        mesh = make_pair_mesh(int(np.prod(config.mesh_shape)))
+
     ckpt = (
         Checkpoint(config.checkpoint_dir, run_digest(sequences, config))
         if config.checkpoint_dir
         else None
     )
     METRICS.reset()
+    with maybe_trace("msa_align"):
+        with METRICS.timed("preprofiles"):
+            seqs = ckpt.load_preprofiles(sequences) if ckpt else None
+            if seqs is None:
+                seqs = batched_preprofiles(
+                    sequences, matrix, config, extra_slaves=extra_slaves, mesh=mesh
+                )
+                if ckpt and config.preprofile_mode != "dummy":
+                    ckpt.save_preprofiles(seqs)
 
-    with METRICS.timed("preprofiles"):
-        seqs = ckpt.load_preprofiles(sequences) if ckpt else None
-        if seqs is None:
-            seqs = batched_preprofiles(
-                sequences, matrix, config, extra_slaves=extra_slaves, mesh=mesh
-            )
-            if ckpt and config.preprofile_mode != "dummy":
-                ckpt.save_preprofiles(seqs)
+        with METRICS.timed("all_pairs"):
+            loaded = ckpt.load_distances() if ckpt else None
+            if loaded is None:
+                scores, lengths = batched_all_pairs(
+                    seqs, matrix, config, mesh=mesh, ckpt=ckpt, fault_hook=fault_hook
+                )
+                n = len(seqs)
+                cells = sum(
+                    float(seqs[i].length) * seqs[j].length
+                    for i in range(n)
+                    for j in range(i + 1, n)
+                )
+                METRICS.add_pairs("all_pairs", n * (n - 1) // 2, cells)
+            else:
+                scores, lengths = loaded
 
-    with METRICS.timed("all_pairs"):
-        loaded = ckpt.load_distances() if ckpt else None
-        if loaded is None:
-            scores, lengths = batched_all_pairs(
-                seqs, matrix, config, mesh=mesh, ckpt=ckpt, fault_hook=fault_hook
-            )
-            n = len(seqs)
-            cells = sum(
-                float(seqs[i].length) * seqs[j].length
-                for i in range(n)
-                for j in range(i + 1, n)
-            )
-            METRICS.add_pairs("all_pairs", n * (n - 1) // 2, cells)
-            if ckpt:
-                ckpt.save_distances(scores, lengths)
-        else:
-            scores, lengths = loaded
+        with METRICS.timed("guide_tree"):
+            tree = ckpt.load_tree() if ckpt else None
+            if tree is None:
+                sim = similarity_from_scores(scores, lengths, config.score_normalization)
+                tree = build_guide_tree(sim, config.linkage)
+                if ckpt:
+                    ckpt.save_tree(tree)
 
-    with METRICS.timed("guide_tree"):
-        tree = ckpt.load_tree() if ckpt else None
-        if tree is None:
-            sim = similarity_from_scores(scores, lengths, config.score_normalization)
-            tree = build_guide_tree(sim, config.linkage)
-            if ckpt:
-                ckpt.save_tree(tree)
-
-    with METRICS.timed("merge"):
-        result = batched_progressive_merge(seqs, tree, matrix, config, mesh=mesh)
+        with METRICS.timed("merge"):
+            result = batched_progressive_merge(seqs, tree, matrix, config, mesh=mesh)
     METRICS.log_summary()
     return result

@@ -82,24 +82,53 @@ class Metrics:
 METRICS = Metrics()
 
 _trace_dir: str | None = None
+_trace_active: bool = False
 
 
 def enable_profiling(trace_dir: str) -> None:
-    """Wrap subsequent batched dispatches in a jax.profiler trace."""
+    """Arm jax.profiler tracing: the next :func:`maybe_trace` scope (the
+    pipeline run) writes a trace into ``trace_dir``."""
     global _trace_dir
     _trace_dir = trace_dir
 
 
 @contextlib.contextmanager
 def maybe_trace(name: str):
+    """Profile the enclosed scope when a trace dir is configured.
+
+    The outermost scope starts the (non-reentrant) ``jax.profiler.trace``;
+    nested scopes degrade to plain trace annotations, so per-dispatch
+    callers compose with the pipeline-level trace.
+    """
+    global _trace_active
     if _trace_dir is None:
         yield
         return
     import jax
 
-    with jax.profiler.trace(_trace_dir):
+    if _trace_active:
         with jax.profiler.TraceAnnotation(name):
             yield
+        return
+    _trace_active = True
+    try:
+        with jax.profiler.trace(_trace_dir):
+            with jax.profiler.TraceAnnotation(name):
+                yield
+    finally:
+        _trace_active = False
+
+
+@contextlib.contextmanager
+def annotate(name: str):
+    """Label a region on the profiler timeline (no-op unless tracing)."""
+    if not _trace_active:
+        yield
+        return
+    import jax
+
+    with jax.profiler.TraceAnnotation(name):
+        yield
 
 
 def configure_logging(verbosity: int, json_lines: bool = False) -> None:

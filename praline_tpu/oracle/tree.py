@@ -1,7 +1,7 @@
 """Guide-tree construction (SURVEY.md C16, §4.3, §8.4).
 
 Hierarchical agglomerative joining over a similarity matrix (larger = more
-similar), kept on the host: it is O(N^2)-O(N^3) cheap scalar work next to the
+similar), kept on the host: it is O(N^2)-cheap scalar work next to the
 O(N^2 L^2) DP stage (SURVEY.md §9 hard part 4).
 
 Pinned semantics (§8.4):
@@ -12,6 +12,19 @@ Pinned semantics (§8.4):
   ``complete`` (min), ``average`` (arithmetic mean in float64),
 * at each step join the pair with maximal linkage; ties -> lexicographically
   smallest ``(min(node_id), max(node_id))``.
+
+Two implementations share these semantics:
+
+* :func:`build_guide_tree` — the production builder: Lance-Williams
+  incremental linkage updates (max-of-max / min-of-min / sum-of-sums) with
+  per-cluster best-partner caches, ~O(N^2) total.  ``single``/``complete``
+  are bit-identical to the reference builder (max/min are associative);
+  ``average`` accumulates the same leaf-pair sums in merge order rather
+  than numpy's pairwise-summation order, so values may differ by ulps —
+  property-tested equal on random matrices (tests/oracle).
+* :func:`build_guide_tree_reference` — the pinned brute-force form
+  (recompute linkage over member blocks each step, O(N^3)-O(N^4)); the
+  executable statement of the contract and the test oracle.
 """
 
 from __future__ import annotations
@@ -21,7 +34,7 @@ import numpy as np
 from ..types import SequenceTree
 
 
-def build_guide_tree(similarity: np.ndarray, linkage: str = "average") -> SequenceTree:
+def _validate(similarity: np.ndarray, linkage: str) -> tuple[np.ndarray, int]:
     sim = np.asarray(similarity, dtype=np.float64)
     n = sim.shape[0]
     if sim.shape != (n, n):
@@ -30,10 +43,116 @@ def build_guide_tree(similarity: np.ndarray, linkage: str = "average") -> Sequen
         raise ValueError("need at least one sequence")
     if linkage not in ("single", "complete", "average"):
         raise ValueError(f"unknown linkage {linkage!r}")
+    return sim, n
+
+
+def build_guide_tree(similarity: np.ndarray, linkage: str = "average") -> SequenceTree:
+    """O(N^2) incremental-linkage guide tree (semantics pinned above)."""
+    sim, n = _validate(similarity, linkage)
     if n == 1:
         return SequenceTree(1, ())
 
-    # Active cluster -> member leaf indices; cluster ids are tree node ids.
+    BIG = np.int64(2 * n)  # node ids < 2n-1, so (min*BIG + max) orders pairs
+
+    # Slot-reuse state: cluster c lives in a fixed slot; a join writes the
+    # merged cluster into the left slot and deactivates the right one.
+    ids = np.arange(n, dtype=np.int64)  # slot -> current node id
+    active = np.ones(n, dtype=bool)
+    cnt = np.ones(n, dtype=np.int64)  # leaves per cluster
+    # Linkage state M: for single/complete the pairwise link itself
+    # (max/min over leaf pairs); for average the SUM of leaf-pair
+    # similarities (divided by cnt_a*cnt_b on read).
+    M = sim.copy()
+    np.fill_diagonal(M, 0.0)
+
+    def link_row(s: int) -> np.ndarray:
+        if linkage == "average":
+            return M[s] / (cnt[s] * cnt).astype(np.float64)
+        return M[s]
+
+    def pair_keys(s: int) -> np.ndarray:
+        mn = np.minimum(ids[s], ids)
+        mx = np.maximum(ids[s], ids)
+        return mn * BIG + mx
+
+    # Per-slot best-partner cache: (value, lex pair key, partner slot).
+    best_val = np.full(n, -np.inf)
+    best_key = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+    best_slot = np.full(n, -1, dtype=np.int64)
+
+    def recompute_best(s: int) -> None:
+        mask = active.copy()
+        mask[s] = False
+        vals = link_row(s)
+        vmax = vals[mask].max()
+        cand = mask & (vals == vmax)
+        keys = pair_keys(s)
+        slots = np.nonzero(cand)[0]
+        pick = slots[keys[slots].argmin()]
+        best_val[s] = vmax
+        best_key[s] = keys[pick]
+        best_slot[s] = pick
+
+    for s in range(n):
+        recompute_best(s)
+
+    joins: list[tuple[int, int]] = []
+    for step in range(n - 1):
+        act = np.nonzero(active)[0]
+        vb = best_val[act]
+        cand = act[vb == vb.max()]
+        s = int(cand[best_key[cand].argmin()])
+        t = int(best_slot[s])
+        a, b = int(ids[s]), int(ids[t])
+        joins.append((a, b) if a < b else (b, a))
+        if step == n - 2:
+            break
+
+        # Lance-Williams update: merge t's state into s, retire t.
+        if linkage == "average":
+            M[s] += M[t]
+            M[:, s] += M[:, t]
+        elif linkage == "single":
+            np.maximum(M[s], M[t], out=M[s])
+            np.maximum(M[:, s], M[:, t], out=M[:, s])
+        else:
+            np.minimum(M[s], M[t], out=M[s])
+            np.minimum(M[:, s], M[:, t], out=M[:, s])
+        cnt[s] += cnt[t]
+        ids[s] = n + step
+        active[t] = False
+        M[s, s] = 0.0
+        recompute_best(s)
+
+        # Refresh stale caches: clusters whose best partner was a merged
+        # slot rescan their row; everyone else just races the new cluster
+        # against their cached best (vectorized candidate from s's row).
+        vals_z = link_row(s)
+        keys_z = pair_keys(s)
+        others = active.copy()
+        others[s] = False
+        stale = others & ((best_slot == s) | (best_slot == t))
+        upd = (
+            others
+            & ~stale
+            & ((vals_z > best_val) | ((vals_z == best_val) & (keys_z < best_key)))
+        )
+        best_val[upd] = vals_z[upd]
+        best_key[upd] = keys_z[upd]
+        best_slot[upd] = s
+        for c in np.nonzero(stale)[0]:
+            recompute_best(int(c))
+    return SequenceTree(n, tuple(joins))
+
+
+def build_guide_tree_reference(
+    similarity: np.ndarray, linkage: str = "average"
+) -> SequenceTree:
+    """Brute-force builder: the executable form of the pinned contract."""
+    sim, n = _validate(similarity, linkage)
+    if n == 1:
+        return SequenceTree(1, ())
+
     members: dict[int, list[int]] = {i: [i] for i in range(n)}
     joins: list[tuple[int, int]] = []
 

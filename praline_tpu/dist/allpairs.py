@@ -84,10 +84,74 @@ def sharded_wavefront_dp(mesh, cx, inv_x, cy, inv_y, s, lx, ly, gap_series, mode
     The batch size must be divisible by the mesh's pair-axis size (the
     caller pads with dummy problems; kernels.batch does this).
     """
+    key = _register_mesh(mesh)
+    fn = _build(key, tuple(gap_series), mode, traceback)
+    return fn(cx, inv_x, cy, inv_y, s, lx, ly)
+
+
+def _register_mesh(mesh):
     key = (tuple(mesh.devices.flat), mesh.axis_names)
     _MESHES.pop(key, None)  # move-to-end so hot meshes never age out
     _MESHES[key] = mesh
     while len(_MESHES) > _MESHES_MAX:
         _MESHES.pop(next(iter(_MESHES)))
-    fn = _build(key, tuple(gap_series), mode, traceback)
-    return fn(cx, inv_x, cy, inv_y, s, lx, ly)
+    return key
+
+
+@functools.lru_cache(maxsize=64)
+def _build_indexed(mesh_key, gap_series, mode, traceback, backend, qd,
+                   replay, onehot_x, onehot_y, A):
+    """Sharded production dispatch: the SAME indexed gather + fused-producer
+    + wavefront(+replay) body as the single-device path
+    (kernels.batch.indexed_dispatch_body), with only the pair axis sharded.
+
+    Profile stacks and the substitution matrix are replicated (O(N)
+    payload); each device gathers its pair shard's operands locally and
+    runs the full kernel — Pallas fused producer, int8 one-hot scoring and
+    on-device traceback replay included — then scalar terminals and move
+    tapes are all-gathered over ICI.  This replaces the round-1 design
+    where the mesh path fell back to the slower XLA-scan kernel
+    (VERDICT r1 item 2; SURVEY.md §3.2 DP row)."""
+    mesh = _MESHES[mesh_key]
+    from ..kernels.batch import indexed_dispatch_body
+
+    rep = P()  # replicated
+    in_specs = (rep, rep, rep, rep, rep, rep, P(PAIR_AXIS), P(PAIR_AXIS), rep)
+    out_specs = {k: rep for k in ("score", "length", "ti", "tj", "tcode")}
+    if replay:
+        out_specs["moves"] = rep
+        out_specs["nmoves"] = rep
+    elif traceback:
+        # O(L^2) per problem: stays sharded, host slices per pair.
+        out_specs["tb"] = P(None, PAIR_AXIS, None)
+
+    def run(sx, ivx, lensx, sy, ivy, lensy, ix, iy, s):
+        out = indexed_dispatch_body(
+            sx, ivx, lensx, sy, ivy, lensy, ix, iy, s,
+            gap_series=gap_series, mode=mode, traceback=traceback,
+            backend=backend, qd=qd, replay=replay,
+            onehot_x=onehot_x, onehot_y=onehot_y, A=A,
+        )
+        res = {
+            k: jax.lax.all_gather(v, PAIR_AXIS, axis=0, tiled=True)
+            for k, v in out.items()
+            if k != "tb"
+        }
+        if "tb" in out:
+            res["tb"] = out["tb"]
+        return res
+
+    fn = shard_map(run, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                   check_vma=False)
+    return jax.jit(fn)
+
+
+def sharded_indexed_dispatch(mesh, sx, ivx, lensx, sy, ivy, lensy, ix, iy, s,
+                             *, gap_series, mode, traceback, backend, qd,
+                             replay, onehot_x, onehot_y, A):
+    """Indexed batched DP with the pair axis sharded over ``mesh`` (batch
+    must be a multiple of the mesh's pair-axis size; kernels.batch pads)."""
+    key = _register_mesh(mesh)
+    fn = _build_indexed(key, tuple(gap_series), mode, traceback, backend,
+                        qd, replay, onehot_x, onehot_y, A)
+    return fn(sx, ivx, lensx, sy, ivy, lensy, ix, iy, s)

@@ -76,6 +76,39 @@ def _dispatch_core(cx, inv_x, cy, inv_y, s, lx, ly, *, gap_series, mode,
     return out
 
 
+def _gather_side(stack, inv, lens, idx, *, onehot, A):
+    """Expand one side of an indexed batch on device: token rows one-hot to
+    count tensors (pad token A -> zero column), narrow integer counts widen
+    to f32."""
+    import jax
+    import jax.numpy as jnp
+
+    l = jnp.take(lens, idx)
+    if onehot:
+        toks = jnp.take(stack, idx, axis=0).astype(jnp.int32)
+        c = jax.nn.one_hot(toks, A, dtype=jnp.float32)
+        iv = jnp.ones(c.shape[:2], jnp.float32)
+    else:
+        c = jnp.take(stack, idx, axis=0).astype(jnp.float32)
+        iv = jnp.take(inv, idx, axis=0)
+    return c, iv, l
+
+
+def indexed_dispatch_body(sx, ivx, lensx, sy, ivy, lensy, ix, iy, s, *,
+                          gap_series, mode, traceback, backend, qd, replay,
+                          onehot_x, onehot_y, A):
+    """Gather-sides + dispatch core: the traced body shared by the
+    single-device indexed jit and the sharded mesh dispatch
+    (dist.allpairs.sharded_indexed_dispatch)."""
+    cx, d_ivx, lx = _gather_side(sx, ivx, lensx, ix, onehot=onehot_x, A=A)
+    cy, d_ivy, ly = _gather_side(sy, ivy, lensy, iy, onehot=onehot_y, A=A)
+    return _dispatch_core(
+        cx, d_ivx, cy, d_ivy, s, lx, ly,
+        gap_series=gap_series, mode=mode, traceback=traceback,
+        backend=backend, qd=qd, replay=replay,
+    )
+
+
 @functools.lru_cache(maxsize=1)
 def _indexed_jit():
     """Indexed dispatch: problems are (ix, iy) rows into device-resident
@@ -86,37 +119,14 @@ def _indexed_jit():
     token arrays (A-times smaller) and expand on device; integer count
     stacks ship narrow (uint8/uint16) and widen on device."""
     import jax
-    import jax.numpy as jnp
 
-    @functools.partial(
-        jax.jit,
+    return jax.jit(
+        indexed_dispatch_body,
         static_argnames=(
             "gap_series", "mode", "traceback", "backend", "qd", "replay",
             "onehot_x", "onehot_y", "A",
         ),
     )
-    def run(sx, ivx, lensx, sy, ivy, lensy, ix, iy, s, *, gap_series, mode,
-            traceback, backend, qd, replay, onehot_x, onehot_y, A):
-        def side(stack, inv, lens, idx, onehot):
-            l = jnp.take(lens, idx)
-            if onehot:
-                toks = jnp.take(stack, idx, axis=0).astype(jnp.int32)
-                c = jax.nn.one_hot(toks, A, dtype=jnp.float32)
-                iv = jnp.ones(c.shape[:2], jnp.float32)
-            else:
-                c = jnp.take(stack, idx, axis=0).astype(jnp.float32)
-                iv = jnp.take(inv, idx, axis=0)
-            return c, iv, l
-
-        cx, d_ivx, lx = side(sx, ivx, lensx, ix, onehot_x)
-        cy, d_ivy, ly = side(sy, ivy, lensy, iy, onehot_y)
-        return _dispatch_core(
-            cx, d_ivx, cy, d_ivy, s, lx, ly,
-            gap_series=gap_series, mode=mode, traceback=traceback,
-            backend=backend, qd=qd, replay=replay,
-        )
-
-    return run
 
 
 def _bucket(n: int, buckets: tuple[int, ...]) -> int:
@@ -310,7 +320,13 @@ def align_pairs_batched(
                 )
 
     for (bx, by), idxs in sorted(groups.items()):
-        oversized = backend == "pallas" and by > bucket_sizes[-1] and mesh is None
+        oversized = backend == "pallas" and by > bucket_sizes[-1]
+        group_backend = backend
+        if oversized and mesh is not None:
+            # Chunked diagonal execution is single-device; under a mesh the
+            # XLA scan kernel (no lane ceiling) runs inside shard_map.
+            group_backend = "xla"
+            oversized = False
         for start in range(0, len(idxs), batch_pairs):
             chunk = idxs[start : start + batch_pairs]
             pxs = [pairs[i][0] for i in chunk]
@@ -331,11 +347,14 @@ def align_pairs_batched(
                 target = target + (-target) % n_dev
             pad = max(0, target - len(chunk))
 
-            if mesh is not None or oversized:
-                # Padded-array paths: the sharded mesh dispatch and the
-                # chunked oversized-Ly execution consume materialized count
+            if oversized:
+                # Oversized target: chunked diagonal execution — only one
+                # band chunk of skewed scores exists at a time, so Ly is
+                # unbounded (kernels.chunked).  Consumes materialized count
                 # tensors (pad problems repeat the first problem; their
                 # output rows are discarded).
+                from .chunked import wavefront_dp_chunked
+
                 if pad:
                     pxs = pxs + [pxs[0]] * pad
                     pys = pys + [pys[0]] * pad
@@ -343,38 +362,24 @@ def align_pairs_batched(
                 cy, inv_y = _pad_counts(pys, by)
                 lx = np.array([p.length for p in pxs], dtype=np.int32)
                 ly = np.array([p.length for p in pys], dtype=np.int32)
-                if mesh is not None:
-                    from ..dist.allpairs import sharded_wavefront_dp
-
-                    with annotate(f"dispatch:sharded:{bx}x{by}x{len(pxs)}"):
-                        out = sharded_wavefront_dp(
-                            mesh,
-                            jnp.asarray(cx), jnp.asarray(inv_x),
-                            jnp.asarray(cy), jnp.asarray(inv_y),
-                            s_dev, jnp.asarray(lx), jnp.asarray(ly),
-                            tuple(gap_series), mode, traceback=traceback,
-                        )
-                else:
-                    # Oversized target: chunked diagonal execution — only
-                    # one band chunk of skewed scores exists at a time, so
-                    # Ly is unbounded (kernels.chunked).
-                    from .chunked import wavefront_dp_chunked
-
-                    out = wavefront_dp_chunked(
-                        cx, inv_x, cy, inv_y,
-                        np.asarray(matrix.as_f32()), lx, ly,
-                        gap_series=tuple(gap_series), mode=mode,
-                        traceback=traceback,
-                    )
-                    if traceback:
-                        out["tb"] = np.concatenate(out.pop("tb_chunks"), axis=0)
+                out = wavefront_dp_chunked(
+                    cx, inv_x, cy, inv_y,
+                    np.asarray(matrix.as_f32()), lx, ly,
+                    gap_series=tuple(gap_series), mode=mode,
+                    traceback=traceback,
+                )
+                if traceback:
+                    out["tb"] = np.concatenate(out.pop("tb_chunks"), axis=0)
                 in_flight.append((chunk, pxs, pys, lx, ly, out))
                 drain(max_in_flight)
                 continue
 
             # Indexed dispatch: profile stacks live on device; the chunk
             # ships only two int32 index vectors (pad entries repeat the
-            # first problem; their output rows are discarded).
+            # first problem; their output rows are discarded).  Under a
+            # mesh the SAME body runs inside shard_map with the pair axis
+            # sharded (dist.allpairs) — fused Pallas producer, int8 path
+            # and device replay included.
             sx_st = _stack(bx)
             sy_st = _stack(by)
             ix = np.array([sx_st["pos"][pair_reg[i][0]] for i in chunk], np.int32)
@@ -385,19 +390,28 @@ def align_pairs_batched(
             lx = sx_st["host_lens"][ix]
             ly = sy_st["host_lens"][iy]
             qd = None
-            if backend == "pallas" and sx_st["onehot"] and sy_st["onehot"]:
+            if group_backend == "pallas" and sx_st["onehot"] and sy_st["onehot"]:
                 from .scores import quantized_dtype_for
 
                 qd = quantized_dtype_for(max_s)
-            with annotate(f"dispatch:{bx}x{by}x{len(chunk)}"):
-                out = _indexed_jit()(
-                    sx_st["stack"], sx_st["inv"], sx_st["lens"],
-                    sy_st["stack"], sy_st["inv"], sy_st["lens"],
-                    jnp.asarray(ix), jnp.asarray(iy), s_dev,
-                    gap_series=tuple(gap_series), mode=mode, traceback=traceback,
-                    backend=backend, qd=qd, replay=device_replay,
-                    onehot_x=sx_st["onehot"], onehot_y=sy_st["onehot"], A=A,
-                )
+            static = dict(
+                gap_series=tuple(gap_series), mode=mode, traceback=traceback,
+                backend=group_backend, qd=qd, replay=device_replay,
+                onehot_x=sx_st["onehot"], onehot_y=sy_st["onehot"], A=A,
+            )
+            operands = (
+                sx_st["stack"], sx_st["inv"], sx_st["lens"],
+                sy_st["stack"], sy_st["inv"], sy_st["lens"],
+                jnp.asarray(ix), jnp.asarray(iy), s_dev,
+            )
+            if mesh is not None:
+                from ..dist.allpairs import sharded_indexed_dispatch
+
+                with annotate(f"dispatch:sharded:{bx}x{by}x{len(chunk)}"):
+                    out = sharded_indexed_dispatch(mesh, *operands, **static)
+            else:
+                with annotate(f"dispatch:{bx}x{by}x{len(chunk)}"):
+                    out = _indexed_jit()(*operands, **static)
             in_flight.append((chunk, pxs, pys, lx, ly, out))
             drain(max_in_flight)
     drain(0)

@@ -79,3 +79,55 @@ def test_full_pipeline_on_mesh_matches_oracle():
     want = oracle_msa(seqs, B62, cfg)
     got = msa_align(seqs, B62, cfg, mesh=mesh)
     assert format_alignment_fasta(got) == format_alignment_fasta(want)
+
+
+def profile_pairs(rng, n, lmax=24):
+    """Integer-count (non-one-hot) profile pairs: the fused f32 path."""
+
+    def one(L):
+        c = rng.integers(0, 3, size=(L, ALPHABET_AA.size)).astype(np.float32)
+        c[:, 0] += 1.0
+        return Profile(c, np.zeros(L, np.float32), ALPHABET_AA)
+
+    return [
+        (one(int(rng.integers(2, lmax))), one(int(rng.integers(2, lmax))))
+        for _ in range(n)
+    ]
+
+
+@pytest.mark.parametrize("mode", ["global", "semiglobal", "local"])
+def test_sharded_pallas_scores_match_oracle(mode):
+    """VERDICT r1 item 2: the mesh path must run the production Pallas
+    kernel (fused producer; int8 for one-hots) — parity on the sim mesh
+    (interpret lowering on CPU)."""
+    require_devices(4)
+    mesh = make_pair_mesh(4)
+    rng = np.random.default_rng(3)
+    pairs = random_pairs(rng, 6) + profile_pairs(rng, 5)
+    got = align_pairs_batched(
+        pairs, B62, (11, 1), mode, bucket_sizes=(31,), batch_pairs=16,
+        mesh=mesh, backend="pallas",
+    )
+    for (px, py), r in zip(pairs, got):
+        want = align_profiles(px, py, B62, (11, 1), mode)
+        assert r.score == want.score
+        assert r.length == want.length
+
+
+def test_sharded_pallas_traceback_matches_unsharded():
+    require_devices(4)
+    mesh = make_pair_mesh(4)
+    rng = np.random.default_rng(11)
+    pairs = random_pairs(rng, 3) + profile_pairs(rng, 3)
+    sharded = align_pairs_batched(
+        pairs, B62, (11, 1), "global", traceback=True, bucket_sizes=(31,),
+        mesh=mesh, backend="pallas",
+    )
+    plain = align_pairs_batched(
+        pairs, B62, (11, 1), "global", traceback=True, bucket_sizes=(31,),
+        backend="pallas",
+    )
+    for a, b in zip(sharded, plain):
+        assert a.score == b.score
+        np.testing.assert_array_equal(a.cols_x, b.cols_x)
+        np.testing.assert_array_equal(a.cols_y, b.cols_y)

@@ -208,6 +208,105 @@ def bench_modes() -> dict:
             "vs_baseline": (cells / dt) / BASELINE_CELLS_PER_S}
 
 
+def bench_scaling() -> dict:
+    """Mesh-scaling harness (SURVEY.md §7 scaling row; VERDICT r1 item 3).
+
+    Strong-scaling sweep of the PRODUCTION sharded dispatch (indexed
+    stacks + shard_map + all_gather, dist.allpairs) over simulated CPU
+    meshes {1,2,4,8}: fixed 512-pair workload, per-mesh-size steady-state
+    wall clock, parallel efficiency t1/(n*tn).  The box has one TPU chip,
+    so the sweep re-execs itself onto 8 forced CPU host devices — the
+    point is a recorded, re-runnable efficiency measurement of the real
+    sharded code path plus the per-host streaming accounting; absolute
+    throughput is the CPU scan kernel's.
+
+    The simulated devices share one host's cores, so ideal scaling is NOT
+    expected here; on real hardware the collective payload per dispatch
+    (replicated O(N) profile stacks amortized over a stage + O(B) int32
+    indices in + O(B) scalars all-gathered out, vs O(B L^2) DP work per
+    shard) is what the >=80% 1->N-host target [BASELINE.json:5] rides on
+    — see the "requirement" field in the output.
+    """
+    import os
+    import subprocess
+    import sys
+
+    if os.environ.get("PRALINE_SCALING_CHILD") != "1":
+        env = dict(os.environ)
+        env["PRALINE_SCALING_CHILD"] = "1"
+        env["XLA_FLAGS"] = (
+            env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+        ).strip()
+        proc = subprocess.run(
+            [sys.executable, __file__, "scaling"],
+            env=env, capture_output=True, text=True, timeout=1800,
+        )
+        if proc.returncode != 0:
+            raise RuntimeError(f"scaling child failed:\n{proc.stderr[-2000:]}")
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from praline_tpu import ALPHABET_AA, builtin_score_matrix
+    from praline_tpu.dist import make_pair_mesh
+    from praline_tpu.kernels import align_pairs_batched
+    from praline_tpu.types import Profile
+
+    rng = np.random.default_rng(0)
+    B, L, NPROF = 512, 127, 64
+    profs = [
+        Profile.from_tokens(rng.integers(0, 20, size=L).astype(np.int32), ALPHABET_AA)
+        for _ in range(NPROF)
+    ]
+    pairs = [(profs[i % NPROF], profs[(i * 7 + 3) % NPROF]) for i in range(B)]
+    m = builtin_score_matrix("blosum62")
+    cells = float(sum(p.length * q.length for p, q in pairs))
+
+    wall: dict[int, float] = {}
+    for n in (1, 2, 4, 8):
+        mesh = make_pair_mesh(n)
+        kw = dict(bucket_sizes=(127,), batch_pairs=B, backend="xla", mesh=mesh)
+        align_pairs_batched(pairs, m, (11, 1), "global", **kw)  # compile
+        times = []
+        for _ in range(3):
+            _, dt = _timed(
+                lambda: align_pairs_batched(pairs, m, (11, 1), "global", **kw)
+            )
+            times.append(dt)
+        wall[n] = float(np.median(times))
+
+    eff = {str(n): wall[1] / (n * wall[n]) for n in wall}
+    value = eff["8"]
+    return {
+        "metric": "scaling_efficiency_sim8",
+        "value": value,
+        "unit": "fraction of ideal, t1/(8*t8), simulated 8-device CPU mesh",
+        "vs_baseline": value / 0.8,  # target >=0.8 at 1->N hosts [B:5]
+        "wallclock_s": {str(n): round(t, 4) for n, t in wall.items()},
+        "efficiency": {k: round(v, 4) for k, v in eff.items()},
+        "cells_per_round": cells,
+        "streaming_bytes_per_dispatch": {
+            # host->device: one-hot token stacks (amortized per stage) +
+            # two index vectors; device->host: five scalar vectors.
+            "profile_stacks": NPROF * L,
+            "index_vectors": 2 * B * 4,
+            "gathered_outputs": B * 5 * 4,
+        },
+        "requirement": (
+            ">=80% 1->N-host efficiency requires: (a) per-shard batch >= "
+            "~128 pairs so each chip's dispatch stays MXU/VPU-bound "
+            "(collective payload is O(B) scalars vs O(B*L^2) DP work), "
+            "(b) profile stacks broadcast once per stage and amortized "
+            "over N-1 pair uses, (c) distance tiles merged via tiled "
+            "all_gather over ICI with DCN only between stages — all three "
+            "are properties of the shipped dispatch design measured here."
+        ),
+    }
+
+
 CONFIGS = {
     "cells": lambda: bench(),
     "pairwise": bench_pairwise,
@@ -215,6 +314,7 @@ CONFIGS = {
     "msa": bench_msa,
     "preprofile": lambda: bench_msa("global"),
     "modes": bench_modes,
+    "scaling": bench_scaling,
 }
 
 

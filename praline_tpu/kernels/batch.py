@@ -129,6 +129,54 @@ def _indexed_jit():
     )
 
 
+@functools.lru_cache(maxsize=1)
+def _streamed_jit():
+    """Oversized-x dispatch: the streamed-producer scan (no hs tensor, no
+    VMEM lane state) with optional on-device move replay — the route for
+    problems past the Pallas lane ceiling or the materialized producer's
+    HBM budget (SURVEY.md §6 long-context row)."""
+    import jax
+
+    @functools.partial(
+        jax.jit, static_argnames=("gap_series", "mode", "traceback", "replay")
+    )
+    def run(cx, inv_x, cy, inv_y, s, lx, ly, *, gap_series, mode, traceback,
+            replay):
+        from .replay import replay_moves
+        from .scan import wavefront_dp_streamed
+
+        out = wavefront_dp_streamed(
+            cx, inv_x, cy, inv_y, s, lx, ly,
+            gap_series=gap_series, mode=mode, traceback=traceback,
+        )
+        if replay:
+            moves, nmoves = replay_moves(
+                out["tb"], out["ti"], out["tj"], out["tcode"],
+                gap_series=gap_series, mode=mode,
+                steps=cx.shape[1] + cy.shape[1],
+            )
+            out = {k: v for k, v in out.items() if k != "tb"}
+            out["moves"] = moves
+            out["nmoves"] = nmoves
+        return out
+
+    return run
+
+
+def _lane_cap(gap_series, traceback) -> int:
+    from .pallas_dp import max_lanes
+
+    return max_lanes(tuple(gap_series), traceback)
+
+
+# Routing budgets for oversized problems (bytes, per problem):
+# a materialized skewed hs tensor beyond this routes to the streamed
+# producer, and a traceback-bit tensor beyond it routes to the native
+# C++ kernel on the host (exact-parity twin) instead of the device.
+HS_BYTES_BUDGET = 1 << 30
+TB_BYTES_BUDGET = 1 << 31
+
+
 def _bucket(n: int, buckets: tuple[int, ...]) -> int:
     for b in buckets:
         if n <= b:
@@ -320,13 +368,65 @@ def align_pairs_batched(
                 )
 
     for (bx, by), idxs in sorted(groups.items()):
-        oversized = backend == "pallas" and by > bucket_sizes[-1]
+        # ---- oversized routing (VERDICT r1 item 6: router, not error) ----
+        # Per-problem byte estimates decide the execution strategy:
+        #  * x past the Pallas lane ceiling, or a materialized hs tensor
+        #    past the HBM budget -> streamed-producer scan (no hs, no lane
+        #    state; any Lx and Ly);
+        #  * traceback bits past the budget on top of that -> native C++
+        #    kernel on the host (exact-parity twin, packed memory).
+        Lp_g = bx + 1
+        hs_bytes = (bx + by + 1) * Lp_g * 4
+        tb_bytes = (bx + by - 1) * Lp_g
+        lane_over = backend == "pallas" and Lp_g > _lane_cap(gap_series, traceback)
+        stream = lane_over or (backend == "xla" and hs_bytes > HS_BYTES_BUDGET)
+        use_native = stream and traceback and tb_bytes > TB_BYTES_BUDGET
+        oversized = (
+            backend == "pallas" and by > bucket_sizes[-1] and not stream
+        )
         group_backend = backend
         if oversized and mesh is not None:
             # Chunked diagonal execution is single-device; under a mesh the
             # XLA scan kernel (no lane ceiling) runs inside shard_map.
             group_backend = "xla"
             oversized = False
+
+        if use_native:
+            from ..native import native_align_scores
+
+            for i in idxs:
+                px, py = pairs[i]
+                h = pair_score_matrix(px, py, matrix)
+                res = native_align_scores(h, tuple(gap_series), mode)
+                results[i] = res if traceback else PairResult(
+                    res.score, float(res.length), px.length, py.length
+                )
+            continue
+        if stream:
+            # Bound in-flight traceback bits to the budget per dispatch.
+            sub = len(idxs)
+            if traceback:
+                sub = max(1, int(TB_BYTES_BUDGET // max(tb_bytes, 1)))
+            for s0 in range(0, len(idxs), sub):
+                chunk = idxs[s0 : s0 + sub]
+                pxs = [pairs[i][0] for i in chunk]
+                pys = [pairs[i][1] for i in chunk]
+                cx, inv_x = _pad_counts(pxs, bx)
+                cy, inv_y = _pad_counts(pys, by)
+                lx = np.array([p.length for p in pxs], dtype=np.int32)
+                ly = np.array([p.length for p in pys], dtype=np.int32)
+                with annotate(f"dispatch:streamed:{bx}x{by}x{len(chunk)}"):
+                    out = _streamed_jit()(
+                        jnp.asarray(cx), jnp.asarray(inv_x),
+                        jnp.asarray(cy), jnp.asarray(inv_y),
+                        s_dev, jnp.asarray(lx), jnp.asarray(ly),
+                        gap_series=tuple(gap_series), mode=mode,
+                        traceback=traceback, replay=device_replay,
+                    )
+                in_flight.append((chunk, pxs, pys, lx, ly, out))
+                drain(max_in_flight)
+            continue
+
         for start in range(0, len(idxs), batch_pairs):
             chunk = idxs[start : start + batch_pairs]
             pxs = [pairs[i][0] for i in chunk]

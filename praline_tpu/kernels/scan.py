@@ -86,6 +86,67 @@ def wavefront_dp(
     and, when ``traceback``, ``tb`` uint8[D-2, B, Lp] direction bits.
     """
     D, B, Lp = hs.shape
+    return _wavefront(hs, None, D, B, Lp, lx, ly, gap_series, mode, traceback)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("gap_series", "mode", "traceback")
+)
+def wavefront_dp_streamed(
+    cx: jax.Array,  # f32[B, Lx, A] integer-valued counts
+    inv_x: jax.Array,  # f32[B, Lx]
+    cy: jax.Array,  # f32[B, Ly, A]
+    inv_y: jax.Array,  # f32[B, Ly]
+    s: jax.Array,  # f32[A, A]
+    lx: jax.Array,
+    ly: jax.Array,
+    gap_series: tuple[int, ...] = (11, 1),
+    mode: str = "global",
+    traceback: bool = False,
+):
+    """Wavefront DP with STREAMED score production: each scan step computes
+    its own diagonal's scores from device-resident profiles, so the skewed
+    O(D * B * Lp) ``hs`` tensor never exists — peak memory is O(B * L * A).
+    This lifts both the Pallas kernel's VMEM lane ceiling and the
+    materialized producer's HBM ceiling: any Lx, any Ly (SURVEY.md §6
+    long-context row; the routing lives in kernels.batch).
+
+    Bit-identical to ``skewed_pair_scores`` + ``wavefront_dp``: the per-cell
+    integer dot H_int = (cx @ S) . cy is exact in f32 under any summation
+    order (oracle/score.py contract), and the (H_int * inv_x) * inv_y
+    multiply order is pinned identically here.
+    """
+    from .scores import HIGHEST
+
+    B, Lx, A = cx.shape
+    Ly = cy.shape[1]
+    Lp = Lx + 1
+    D = Lx + Ly + 1
+
+    # Lane i of diagonal d scores cells (i, d-i): needs t[i-1] . cy[d-i-1].
+    t = jnp.einsum("bxa,ac->bxc", cx, s, precision=HIGHEST)
+    t_pad = jnp.pad(t, ((0, 0), (1, 0), (0, 0)))  # lane 0 -> zero row
+    invx_pad = jnp.pad(inv_x, ((0, 0), (1, 0)), constant_values=1.0)
+    # Reversed-y buffers padded so the window for diagonal d is the length-Lp
+    # slice starting at (Ly - d) + Lx: lane i reads cy[d-1-i] (zeros / 1.0
+    # outside the valid range, making out-of-range cells exactly 0.0, as in
+    # the materialized producer's validity mask).
+    cyr_pad = jnp.pad(cy[:, ::-1, :], ((0, 0), (Lx, Lx), (0, 0)))
+    invy_pad = jnp.pad(
+        inv_y[:, ::-1], ((0, 0), (Lx, Lx)), constant_values=1.0
+    )
+
+    def hrow_fn(d):
+        start = Lx + Ly - d
+        w_y = jax.lax.dynamic_slice_in_dim(cyr_pad, start, Lp, axis=1)
+        w_iv = jax.lax.dynamic_slice_in_dim(invy_pad, start, Lp, axis=1)
+        h_int = jnp.einsum("bia,bia->bi", t_pad, w_y, precision=HIGHEST)
+        return (h_int * invx_pad) * w_iv
+
+    return _wavefront(None, hrow_fn, D, B, Lp, lx, ly, gap_series, mode, traceback)
+
+
+def _wavefront(hs, hrow_fn, D, B, Lp, lx, ly, gap_series, mode, traceback):
     k = len(gap_series)
     if k > 15:
         raise ValueError("gap series deeper than 15 levels not supported")
@@ -163,7 +224,11 @@ def wavefront_dp(
         return pick_lane(v, idx, jnp.zeros((), v.dtype) - 1)
 
     def step(carry, inp):
-        d, hrow = inp
+        if hrow_fn is None:
+            d, hrow = inp
+        else:
+            d = inp
+            hrow = hrow_fn(d)
         (
             m1, ix1, iy1, lm1, lix1, liy1,
             r1v, r1l, r1c, r2v, r2l, r2c,
@@ -320,7 +385,8 @@ def wavefront_dp(
         tval, tlen, ti, tj, tcode,
     )
     ds = jnp.arange(2, D, dtype=jnp.int32)
-    carry, tb = jax.lax.scan(step, carry, (ds, hs[2:]))
+    xs = ds if hrow_fn is not None else (ds, hs[2:])
+    carry, tb = jax.lax.scan(step, carry, xs)
     tval, tlen, ti, tj, tcode = carry[-5:]
 
     out = {"score": tval, "length": tlen, "ti": ti, "tj": tj, "tcode": tcode}

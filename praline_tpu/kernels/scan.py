@@ -141,12 +141,22 @@ def wavefront_dp_streamed(
         w_y = jax.lax.dynamic_slice_in_dim(cyr_pad, start, Lp, axis=1)
         w_iv = jax.lax.dynamic_slice_in_dim(invy_pad, start, Lp, axis=1)
         h_int = jnp.einsum("bia,bia->bi", t_pad, w_y, precision=HIGHEST)
+        # Rounding of this multiply chain is pinned by the nested-scan
+        # chunk materialization in _wavefront (see comment there).
         return (h_int * invx_pad) * w_iv
 
     return _wavefront(None, hrow_fn, D, B, Lp, lx, ly, gap_series, mode, traceback)
 
 
-def _wavefront(hs, hrow_fn, D, B, Lp, lx, ly, gap_series, mode, traceback):
+def _wavefront(hs, hrow_fn, D, B, Lp, lx, ly, gap_series, mode, traceback,
+               ring_axis=None, ring_n=1, lane_base=None):
+    """Shared DP body.  ``ring_axis`` activates the multi-device ring form
+    (SURVEY.md §3.2 ring row): the lane (x) axis is sharded over a mesh
+    axis, each diagonal step passes its boundary lane to the right
+    neighbour with ``ppermute``, and terminal reductions finish with
+    pmax/pmin collectives.  ``Lp`` is then the LOCAL lane count and
+    ``lane_base`` the device's first global lane; results are bit-equal to
+    the single-device scan (parity-tested in tests/dist)."""
     k = len(gap_series)
     if k > 15:
         raise ValueError("gap series deeper than 15 levels not supported")
@@ -156,8 +166,12 @@ def _wavefront(hs, hrow_fn, D, B, Lp, lx, ly, gap_series, mode, traceback):
     if mode not in ("global", "semiglobal", "local"):
         raise ValueError(f"unknown mode {mode!r}")
 
-    cum = jnp.asarray(_gap_prefix(gap_series, D), dtype=jnp.float32)
+    # +64: streamed chunking pads the diagonal range up to a chunk multiple;
+    # padded-d border costs index past D (harmless but kept in bounds).
+    cum = jnp.asarray(_gap_prefix(gap_series, D + 64), dtype=jnp.float32)
     lane = jnp.arange(Lp, dtype=jnp.int32)[None, :]  # (1, Lp)
+    if ring_axis is not None:
+        lane = lane + lane_base  # GLOBAL lane ids on this device's shard
     zeros = jnp.zeros((B, Lp), jnp.float32)
     negs = jnp.full((B, Lp), NEG, jnp.float32)
 
@@ -205,17 +219,41 @@ def _wavefront(hs, hrow_fn, D, B, Lp, lx, ly, gap_series, mode, traceback):
         tj = jnp.where(pick_x, 0, tj)
         tcode = jnp.where(pick_x, 1, tcode)
 
+    _ring_perm = [(i, i + 1) for i in range(ring_n - 1)]
+
+    def _ring_left(v, fill):
+        """Boundary lane from the left neighbour (ppermute); the first
+        device (global lane 0) gets ``fill`` — non-receivers of an
+        incomplete perm get zeros, so overwrite by lane_base."""
+        left = jax.lax.ppermute(v[:, -1:], ring_axis, _ring_perm)
+        return jnp.where(lane_base == 0, jnp.full_like(left, fill), left)
+
     def shift_v(v):  # lane i <- lane i-1, NEG fill
-        return jnp.concatenate([jnp.full_like(v[:, :1], NEG), v[:, :-1]], axis=1)
+        head = (
+            _ring_left(v, NEG)
+            if ring_axis is not None
+            else jnp.full_like(v[:, :1], NEG)
+        )
+        return jnp.concatenate([head, v[:, :-1]], axis=1)
 
     def shift_z(v):  # zero fill (lengths / codes)
-        return jnp.concatenate([jnp.zeros_like(v[:, :1]), v[:, :-1]], axis=1)
+        head = (
+            _ring_left(v, jnp.zeros((), v.dtype))
+            if ring_axis is not None
+            else jnp.zeros_like(v[:, :1])
+        )
+        return jnp.concatenate([head, v[:, :-1]], axis=1)
 
     def pick_lane(v, idx, fill):
         """v (B, Lp), idx (B,) -> (B,): value at lane idx via a masked
-        reduce (one-hot max) — far cheaper than a gather on TPU."""
+        reduce (one-hot max) — far cheaper than a gather on TPU.  In ring
+        mode the wanted lane lives on exactly one device; a pmax over the
+        ring finishes the reduce."""
         mask = lane == idx[:, None]
-        return jnp.max(jnp.where(mask, v, fill), axis=1)
+        got = jnp.max(jnp.where(mask, v, fill), axis=1)
+        if ring_axis is not None:
+            got = jax.lax.pmax(got, ring_axis)
+        return got
 
     def take_lane(v, idx):
         return pick_lane(v, idx, NEG)
@@ -224,11 +262,7 @@ def _wavefront(hs, hrow_fn, D, B, Lp, lx, ly, gap_series, mode, traceback):
         return pick_lane(v, idx, jnp.zeros((), v.dtype) - 1)
 
     def step(carry, inp):
-        if hrow_fn is None:
-            d, hrow = inp
-        else:
-            d = inp
-            hrow = hrow_fn(d)
+        d, hrow = inp
         (
             m1, ix1, iy1, lm1, lix1, liy1,
             r1v, r1l, r1c, r2v, r2l, r2c,
@@ -348,7 +382,17 @@ def _wavefront(hs, hrow_fn, D, B, Lp, lx, ly, gap_series, mode, traceback):
             )
             mv = jnp.where(valid, nm, NEG)
             step_best = jnp.max(mv, axis=1)
-            step_arg = jnp.argmax(mv, axis=1).astype(jnp.int32)  # first max: min i
+            # first max = min global lane (the pinned smallest-i tie-break)
+            loc_arg = jnp.argmax(mv, axis=1).astype(jnp.int32)
+            if ring_axis is not None:
+                loc_arg = loc_arg + lane_base
+                gbest = jax.lax.pmax(step_best, ring_axis)
+                big = jnp.int32(2**30)
+                cand = jnp.where(step_best == gbest, loc_arg, big)
+                step_arg = jax.lax.pmin(cand, ring_axis)
+                step_best = gbest
+            else:
+                step_arg = loc_arg
             step_len = take_lane(nlm, step_arg)
             cj = d - step_arg
             better = step_best > tval
@@ -384,9 +428,30 @@ def _wavefront(hs, hrow_fn, D, B, Lp, lx, ly, gap_series, mode, traceback):
         r1v, r1l, r1c, r2v, r2l, r2c,
         tval, tlen, ti, tj, tcode,
     )
-    ds = jnp.arange(2, D, dtype=jnp.int32)
-    xs = ds if hrow_fn is not None else (ds, hs[2:])
-    carry, tb = jax.lax.scan(step, carry, xs)
+    if hrow_fn is None:
+        ds = jnp.arange(2, D, dtype=jnp.int32)
+        carry, tb = jax.lax.scan(step, carry, (ds, hs[2:]))
+    else:
+        # Streamed production runs as a NESTED scan: the outer step
+        # produces a chunk of score rows, the inner scan consumes them as
+        # xs.  The chunk buffer crosses a while-loop boundary, so XLA
+        # cannot contract the producer's final multiply into the DP's add
+        # (FMA) — rounding stays bit-identical to the materialized path.
+        # (A plain per-step hrow_fn(d) diverges by ulps on CPU: verified
+        # 2026-08-17; optimization_barrier/bitcast do NOT stop it.)
+        K = min(64, max(1, D - 2))
+        nchunks = -(-(D - 2) // K)
+        # Padded diagonals beyond D-1 compute garbage that can never win
+        # a terminal (validity masks bound d by lx+ly).
+        def outer(c_carry, cidx):
+            d0 = 2 + cidx * K
+            ds_chunk = d0 + jnp.arange(K, dtype=jnp.int32)
+            hs_chunk = jax.vmap(hrow_fn)(ds_chunk)
+            return jax.lax.scan(step, c_carry, (ds_chunk, hs_chunk))
+
+        carry, tb = jax.lax.scan(outer, carry, jnp.arange(nchunks, dtype=jnp.int32))
+        if traceback:
+            tb = tb.reshape(nchunks * K, *tb.shape[2:])[: D - 2]
     tval, tlen, ti, tj, tcode = carry[-5:]
 
     out = {"score": tval, "length": tlen, "ti": ti, "tj": tj, "tcode": tcode}

@@ -1,7 +1,16 @@
 """Performance-regression floors (SURVEY.md §5.7) — only asserted when
-PRALINE_PERF=1 (requires a real TPU; plain CI runs skip)."""
+PRALINE_PERF=1 (requires a real TPU; plain CI runs skip).
 
+The suite's conftest pins the pytest process itself to the simulated CPU
+mesh, so each floor measures in a SUBPROCESS with the TPU platform
+restored (bench.py prints one JSON line per config).
+"""
+
+import json
 import os
+import subprocess
+import sys
+from pathlib import Path
 
 import pytest
 
@@ -9,17 +18,26 @@ requires_perf = pytest.mark.skipif(
     os.environ.get("PRALINE_PERF") != "1", reason="set PRALINE_PERF=1 on TPU"
 )
 
+BENCH = Path(__file__).resolve().parents[2] / "bench.py"
+
+
+def _run_bench(config: str, timeout: int = 1200) -> dict:
+    env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
+    env.pop("XLA_FLAGS", None)  # no forced CPU device count
+    proc = subprocess.run(
+        [sys.executable, str(BENCH), config],
+        capture_output=True, text=True, timeout=timeout, env=env,
+        cwd=str(BENCH.parent),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
 
 @requires_perf
 def test_cells_per_second_floor():
-    import sys
-
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
-    from bench import bench
-
-    result = bench(iters=4)
     # Floor: the driver target is 1e9 cells/s/chip end-to-end [B:5]; fail
     # CI-perf if we regress below it.
+    result = _run_bench("cells")
     assert result["value"] >= 1.0e9, result
 
 
@@ -28,12 +46,7 @@ def test_msa_wallclock_floor():
     """End-to-end floor (VERDICT r1 item 9): the progressive-MSA product
     path, where host-side regressions live — not just the headline kernel.
     Round-2 measured 3.8s on the v5e (was 18s in round 1); floor at 8s."""
-    import sys
-
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
-    from bench import bench_msa
-
-    result = bench_msa()
+    result = _run_bench("msa")
     assert result["value"] <= 8.0, result
 
 
@@ -41,10 +54,5 @@ def test_msa_wallclock_floor():
 def test_preprofile_wallclock_floor():
     """Config-4 floor: global master-slave preprofiles end to end.
     Round-2 measured 6.9s warm on the v5e (was 55s in round 1)."""
-    import sys
-
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
-    from bench import bench_msa
-
-    result = bench_msa("global")
+    result = _run_bench("preprofile")
     assert result["value"] <= 15.0, result

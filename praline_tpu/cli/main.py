@@ -28,7 +28,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("output", help="output alignment file")
     p.add_argument(
         "-m", "--matrix", default="blosum62",
-        help="builtin matrix name (blosum62, blosum50, pam250, dna_simple) or path",
+        help="builtin matrix name (blosum45/50/62/80, pam30/70/120/250, "
+        "dna_simple) or a matrix file path",
     )
     p.add_argument(
         "-a", "--alphabet", choices=["protein", "dna"], default="protein",

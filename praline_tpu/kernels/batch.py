@@ -177,6 +177,110 @@ HS_BYTES_BUDGET = 1 << 30
 TB_BYTES_BUDGET = 1 << 31
 
 
+def align_tracksets_batched(
+    pairs,
+    matrices,
+    weights,
+    gap_series: tuple[int, ...],
+    mode: str,
+    *,
+    traceback: bool = False,
+) -> list:
+    """Batched MULTI-TRACK composite alignment (SURVEY.md C4, §8.1).
+
+    ``pairs`` is a list of ``(tracks_x, tracks_y)`` where each side is a
+    tuple of parallel :class:`Profile` tracks (equal lengths per side);
+    column score = sum_t weights[t] * score_t — the reference's composite
+    score function (e.g. amino-acid + secondary-structure tracks).
+
+    Results are bit-identical to ``oracle.align_tracksets`` per pair: the
+    composite skewed producer accumulates per-op (rounding pinned) and the
+    materialized hs feeds the jitted wavefront.  This is the seam path —
+    groups dispatch by exact shape, no bucketing/async (single-track hot
+    paths stay on align_pairs_batched).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..oracle.score import composite_pair_score_matrix
+    from .scan import wavefront_dp
+    from .scores import composite_skewed_scores
+
+    T = len(matrices)
+    if len(weights) != T:
+        raise ValueError("matrices and weights must align")
+    if T == 0:
+        raise ValueError("need at least one track")
+
+    results: list = [None] * len(pairs)
+    groups: dict[tuple[int, int], list[int]] = {}
+    for idx, (txs, tys) in enumerate(pairs):
+        if len(txs) != T or len(tys) != T:
+            raise ValueError("every pair needs one profile per track")
+        Lx, Ly = txs[0].length, tys[0].length
+        if any(p.length != Lx for p in txs) or any(p.length != Ly for p in tys):
+            raise ValueError("parallel tracks must have equal lengths per side")
+        if Lx == 0 or Ly == 0:
+            r = _degenerate(Lx, Ly, gap_series, mode)
+            results[idx] = r if traceback else PairResult(
+                r.score, float(r.length), Lx, Ly
+            )
+            continue
+        for px, py, m in zip(txs, tys, matrices):
+            check_exactness(px, py, m)
+        groups.setdefault((Lx, Ly), []).append(idx)
+
+    ss = [jnp.asarray(m.as_f32()) for m in matrices]
+    w = tuple(float(x) for x in weights)
+
+    for (bx, by), idxs in sorted(groups.items()):
+        xs = [pairs[i][0] for i in idxs]
+        ys = [pairs[i][1] for i in idxs]
+        cxs, ivxs, cys, ivys = [], [], [], []
+        for t in range(T):
+            cx, ivx = _pad_counts([ts[t] for ts in xs], bx)
+            cy, ivy = _pad_counts([ts[t] for ts in ys], by)
+            cxs.append(jnp.asarray(cx))
+            ivxs.append(jnp.asarray(ivx))
+            cys.append(jnp.asarray(cy))
+            ivys.append(jnp.asarray(ivy))
+        lx = np.full(len(idxs), bx, dtype=np.int32)
+        ly = np.full(len(idxs), by, dtype=np.int32)
+        hs = composite_skewed_scores(cxs, ivxs, cys, ivys, ss, w)
+        out = jax.device_get(
+            wavefront_dp(
+                hs, jnp.asarray(lx), jnp.asarray(ly),
+                gap_series=tuple(gap_series), mode=mode, traceback=traceback,
+            )
+        )
+        score = np.asarray(out["score"])
+        length = np.asarray(out["length"])
+        ti = np.asarray(out["ti"])
+        tj = np.asarray(out["tj"])
+        tcode = np.asarray(out["tcode"])
+        if mode == "semiglobal":
+            length = length + (lx - ti) + (ly - tj)
+        for b, idx in enumerate(idxs):
+            if traceback:
+                h = (
+                    composite_pair_score_matrix(
+                        pairs[idx][0], pairs[idx][1], matrices, weights
+                    )
+                    if mode == "local"
+                    else None
+                )
+                results[idx] = replay_traceback(
+                    np.asarray(out["tb"])[:, b, :], h, float(score[b]),
+                    int(ti[b]), int(tj[b]), int(tcode[b]),
+                    int(lx[b]), int(ly[b]), tuple(gap_series), mode,
+                )
+            else:
+                results[idx] = PairResult(
+                    float(score[b]), float(length[b]), int(ti[b]), int(tj[b])
+                )
+    return results
+
+
 def _bucket(n: int, buckets: tuple[int, ...]) -> int:
     for b in buckets:
         if n <= b:

@@ -95,6 +95,33 @@ def skewed_pair_scores_int(
     return jnp.transpose(hs, (1, 0, 2))
 
 
+def composite_skewed_scores(
+    cxs,  # sequence of f32[B, Lx, A_t] per track
+    inv_xs,  # sequence of f32[B, Lx]
+    cys,  # sequence of f32[B, Ly, A_t]
+    inv_ys,  # sequence of f32[B, Ly]
+    ss,  # sequence of f32[A_t, A_t]
+    weights,
+):
+    """Multi-track composite skewed scores (SURVEY.md C4, §8.1): the
+    weighted sum of per-track skewed score tensors, accumulated IN TRACK
+    ORDER with f32 rounding per step — bit-identical to the oracle's
+    composite_pair_score_matrix under the skew.
+
+    Deliberately NOT one fused jit: the multiply-then-add accumulation
+    must round at every step, and inside a single jit XLA contracts w*hs into
+    the following add (FMA) — per-op dispatch pins the rounding at op
+    boundaries (same hazard as the streamed producer; see
+    kernels.scan._wavefront).
+    """
+    acc = None
+    for cx, inv_x, cy, inv_y, s, w in zip(cxs, inv_xs, cys, inv_ys, ss, weights):
+        hs = skewed_pair_scores(cx, inv_x, cy, inv_y, s)
+        term = jnp.float32(w) * hs
+        acc = term if acc is None else acc + term
+    return acc
+
+
 def quantized_dtype_for(max_abs_int: float):
     """Pick the narrowest dtype holding every |H_int| value, or None."""
     if max_abs_int < 127:

@@ -4,7 +4,7 @@ Everything here is pure NumPy, deterministic, and defines the exact semantics
 the TPU kernels must reproduce bit-for-bit.
 """
 
-from .align import AlignResult, align_profiles, align_scores, align_tokens
+from .align import AlignResult, align_profiles, align_scores, align_tokens, align_tracksets
 from .merge import full_coverage_path, inject_gaps, merge_alignments, progressive_merge
 from .msa import all_pairs_scores, oracle_msa
 from .preprofile import attach_preprofiles, build_preprofile, project_to_master
@@ -24,6 +24,7 @@ __all__ = [
     "align_profiles",
     "align_scores",
     "align_tokens",
+    "align_tracksets",
     "all_pairs_scores",
     "attach_preprofiles",
     "build_guide_tree",

@@ -323,6 +323,24 @@ def align_profiles(
     return align_scores(pair_score_matrix(px, py, matrix), gap_series, mode)
 
 
+def align_tracksets(
+    tracks_x,
+    tracks_y,
+    matrices,
+    weights,
+    gap_series: tuple[int, ...],
+    mode: str,
+) -> AlignResult:
+    """Multi-track composite alignment (SURVEY.md C4, §8.1): DP over the
+    weighted per-track score sum.  The track/score-fn seam the reference's
+    component architecture exposes — e.g. amino-acid + secondary-structure
+    tracks with weights — as a first-class oracle entry point."""
+    from .score import composite_pair_score_matrix
+
+    h = composite_pair_score_matrix(tracks_x, tracks_y, matrices, weights)
+    return align_scores(h, gap_series, mode)
+
+
 def align_tokens(
     x_tokens: np.ndarray,
     y_tokens: np.ndarray,

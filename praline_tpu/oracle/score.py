@@ -68,6 +68,41 @@ def pair_score_matrix(px: Profile, py: Profile, matrix: ScoreMatrix) -> np.ndarr
     return ((d * inv_x[:, None]) * inv_y[None, :]).astype(np.float32)
 
 
+def composite_pair_score_matrix(
+    tracks_x: "list[Profile] | tuple[Profile, ...]",
+    tracks_y: "list[Profile] | tuple[Profile, ...]",
+    matrices: "list[ScoreMatrix] | tuple[ScoreMatrix, ...]",
+    weights: "list[float] | tuple[float, ...]",
+) -> np.ndarray:
+    """Multi-track composite column scores (SURVEY.md C4, §8.1):
+
+        h = sum_t  w_t * (f1_t^T S_t f2_t)
+
+    The reference's composite score function combines one matrix per track
+    with a weight (e.g. amino-acid + secondary-structure tracks).  Pinned
+    arithmetic: each track's score matrix is computed exactly as
+    :func:`pair_score_matrix`, then terms accumulate IN TRACK ORDER as
+    ``acc = acc + w_t * h_t`` with float32 rounding at every step — the
+    device path (kernels.scores.composite_skewed_scores) accumulates in
+    the same order, so results stay bit-identical.
+
+    All x tracks must share one length, likewise y tracks (they are
+    parallel annotations of the same columns).
+    """
+    if not (len(tracks_x) == len(tracks_y) == len(matrices) == len(weights)):
+        raise ValueError("tracks_x, tracks_y, matrices, weights must align")
+    if not tracks_x:
+        raise ValueError("need at least one track")
+    L1 = tracks_x[0].length
+    L2 = tracks_y[0].length
+    if any(p.length != L1 for p in tracks_x) or any(p.length != L2 for p in tracks_y):
+        raise ValueError("parallel tracks must have equal lengths per side")
+    acc = np.zeros((L1, L2), dtype=np.float32)
+    for px, py, s, w in zip(tracks_x, tracks_y, matrices, weights):
+        acc = acc + np.float32(w) * pair_score_matrix(px, py, s)
+    return acc
+
+
 def seq_score_matrix(x_tokens: np.ndarray, y_tokens: np.ndarray, matrix: ScoreMatrix) -> np.ndarray:
     """Seq-seq special case: ``S[x_i, y_j]`` as float32 (exactly integral)."""
     return matrix.as_f32()[np.asarray(x_tokens)[:, None], np.asarray(y_tokens)[None, :]]

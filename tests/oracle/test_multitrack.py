@@ -1,0 +1,119 @@
+"""Multi-track composite scoring (SURVEY.md C4, §8.1): the reference's
+weighted per-track score combination, oracle + device parity."""
+
+import numpy as np
+import pytest
+
+from praline_tpu import ALPHABET_AA, ALPHABET_DNA, builtin_score_matrix
+from praline_tpu.kernels import align_tracksets_batched
+from praline_tpu.oracle import align_profiles, align_scores, align_tracksets
+from praline_tpu.oracle.score import (
+    composite_pair_score_matrix,
+    pair_score_matrix,
+)
+from praline_tpu.types import Profile
+
+B62 = builtin_score_matrix("blosum62")
+PAM = builtin_score_matrix("pam250")
+DNA = builtin_score_matrix("dna_simple")
+
+
+def _prof(rng, L, alphabet=ALPHABET_AA):
+    hi = min(20, alphabet.size - 1)
+    return Profile.from_tokens(
+        rng.integers(0, hi, size=L).astype(np.int32), alphabet
+    )
+
+
+def test_single_track_weight_one_reduces_to_plain():
+    rng = np.random.default_rng(0)
+    px, py = _prof(rng, 14), _prof(rng, 11)
+    h = composite_pair_score_matrix([px], [py], [B62], [1.0])
+    np.testing.assert_array_equal(h, pair_score_matrix(px, py, B62))
+    a = align_tracksets([px], [py], [B62], [1.0], (11, 1), "global")
+    b = align_profiles(px, py, B62, (11, 1), "global")
+    assert a.score == b.score and (a.cols_x == b.cols_x).all()
+
+
+def test_zero_weight_track_is_inert():
+    rng = np.random.default_rng(1)
+    px, py = _prof(rng, 12), _prof(rng, 13)
+    qx, qy = _prof(rng, 12), _prof(rng, 13)
+    h1 = composite_pair_score_matrix([px], [py], [B62], [1.0])
+    h2 = composite_pair_score_matrix([px, qx], [py, qy], [B62, PAM], [1.0, 0.0])
+    np.testing.assert_array_equal(h1, h2)
+
+
+def test_two_track_weighted_sum_matches_manual():
+    rng = np.random.default_rng(2)
+    px, py = _prof(rng, 9), _prof(rng, 8)
+    qx, qy = _prof(rng, 9), _prof(rng, 8)
+    w = (0.75, 0.5)
+    h = composite_pair_score_matrix([px, qx], [py, qy], [B62, PAM], w)
+    manual = np.float32(w[0]) * pair_score_matrix(px, py, B62)
+    manual = manual + np.float32(w[1]) * pair_score_matrix(qx, qy, PAM)
+    np.testing.assert_array_equal(h, manual)
+    res = align_tracksets([px, qx], [py, qy], [B62, PAM], w, (11, 1), "global")
+    ref = align_scores(manual, (11, 1), "global")
+    assert res.score == ref.score and (res.cols_x == ref.cols_x).all()
+
+
+def test_mixed_alphabet_tracks():
+    # Tracks may use different alphabets/matrices (e.g. residues + a
+    # coarse structural alphabet); only lengths must be parallel.
+    rng = np.random.default_rng(3)
+    px, py = _prof(rng, 10), _prof(rng, 7)
+    sx, sy = _prof(rng, 10, ALPHABET_DNA), _prof(rng, 7, ALPHABET_DNA)
+    h = composite_pair_score_matrix([px, sx], [py, sy], [B62, DNA], (1.0, 2.0))
+    assert h.shape == (10, 7) and np.isfinite(h).all()
+
+
+def test_validation_errors():
+    rng = np.random.default_rng(4)
+    px, py = _prof(rng, 5), _prof(rng, 6)
+    with pytest.raises(ValueError):
+        composite_pair_score_matrix([], [], [], [])
+    with pytest.raises(ValueError):
+        composite_pair_score_matrix([px], [py], [B62], [1.0, 2.0])
+    with pytest.raises(ValueError):
+        composite_pair_score_matrix([px, _prof(rng, 4)], [py, py], [B62, B62], [1, 1])
+
+
+@pytest.mark.parametrize("mode", ["global", "semiglobal", "local"])
+@pytest.mark.parametrize("traceback", [False, True])
+def test_batched_tracksets_match_oracle(mode, traceback):
+    rng = np.random.default_rng(5)
+    pairs = []
+    for _ in range(7):
+        Lx, Ly = int(rng.integers(3, 18)), int(rng.integers(3, 18))
+        pairs.append(
+            (
+                (_prof(rng, Lx), _prof(rng, Lx)),
+                (_prof(rng, Ly), _prof(rng, Ly)),
+            )
+        )
+    mats, w = [B62, PAM], (1.0, 0.25)
+    got = align_tracksets_batched(pairs, mats, w, (11, 1), mode, traceback=traceback)
+    for (txs, tys), r in zip(pairs, got):
+        want = align_tracksets(txs, tys, mats, w, (11, 1), mode)
+        assert r.score == want.score
+        if traceback:
+            np.testing.assert_array_equal(r.cols_x, want.cols_x)
+            np.testing.assert_array_equal(r.cols_y, want.cols_y)
+        else:
+            assert r.length == want.length
+
+
+def test_batched_tracksets_degenerate_and_gap_series():
+    rng = np.random.default_rng(6)
+    empty = Profile.from_tokens(np.zeros(0, np.int32), ALPHABET_AA)
+    pairs = [
+        ((empty, empty), (_prof(rng, 5), _prof(rng, 5))),
+        ((_prof(rng, 4), _prof(rng, 4)), (_prof(rng, 6), _prof(rng, 6))),
+    ]
+    got = align_tracksets_batched(
+        pairs, [B62, PAM], (1.0, 1.0), (13, 7, 1), "global", traceback=True
+    )
+    for (txs, tys), r in zip(pairs, got):
+        want = align_tracksets(txs, tys, [B62, PAM], (1.0, 1.0), (13, 7, 1), "global")
+        assert r.score == want.score

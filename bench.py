@@ -177,7 +177,10 @@ def bench_msa(preprofile: str = "dummy") -> dict:
     seqs = _random_family(60, 150)
     m = builtin_score_matrix("blosum62")
     cfg = PralineConfig(preprofile_mode=preprofile)
-    msa_align(seqs[:6], m, cfg)  # warmup compiles
+    # Warm with a same-shape different-data family: hits the SAME
+    # executables (compile + per-process init both amortized) without
+    # letting runtime-level replay dedup short-circuit the timed run.
+    msa_align(_random_family(60, 150, seed=1), m, cfg)
     aln, dt = _timed(lambda: msa_align(seqs, m, cfg))
     name = "msa60_wallclock" if preprofile == "dummy" else "msa60_preprofile_wallclock"
     # throughput ratio on the dominant all-pairs DP cells (lower bound on

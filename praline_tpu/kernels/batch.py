@@ -378,21 +378,30 @@ def align_pairs_batched(
             return st
         ids = by_bucket[b]
         profs = [uniq[u] for u in ids]
-        lens = np.array([p.length for p in profs], dtype=np.int32)
+        # Pad the row count to a pow2 grid (floor 32): successive calls
+        # with different profile subsets (e.g. the distance stage's
+        # resumable tiles) then hit the SAME executable shape — a new
+        # stack shape costs seconds of executable upload/init on remote
+        # runtimes, which dominated tiled all-pairs wall clock (r2).
+        rows = 32
+        while rows < len(profs):
+            rows *= 2
+        lens = np.ones(rows, dtype=np.int32)
+        lens[: len(profs)] = [p.length for p in profs]
         onehot = all(
             bool(np.all(p.counts.sum(axis=1) == 1.0)) for p in profs
         )
         if onehot:
             tok_dt = np.int8 if A < 127 else np.int32
-            toks = np.full((len(profs), b), A, dtype=tok_dt)
+            toks = np.full((rows, b), A, dtype=tok_dt)
             for r, p in enumerate(profs):
                 toks[r, : p.length] = np.argmax(p.counts, axis=1)
             stack, inv = jnp.asarray(toks), jnp.zeros((1, 1), jnp.float32)
         else:
             cmax = max(float(p.counts.max(initial=0.0)) for p in profs)
             dt = np.uint8 if cmax < 256 else (np.uint16 if cmax < 65536 else np.float32)
-            counts = np.zeros((len(profs), b, A), dtype=dt)
-            invs = np.ones((len(profs), b), np.float32)
+            counts = np.zeros((rows, b, A), dtype=dt)
+            invs = np.ones((rows, b), np.float32)
             for r, p in enumerate(profs):
                 counts[r, : p.length] = p.counts
                 invs[r, : p.length] = column_inverses(p)

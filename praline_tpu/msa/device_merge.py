@@ -6,17 +6,21 @@ profiles there — wall-clock scaled with tree depth times a full host<->device
 round trip (a caterpillar tree over N sequences costs N-1 sequential round
 trips, the dominant term on remote runtimes).
 
-Here profiles NEVER exist on the host during the walk.  Every join is one
-top-level jitted step — exact-integer profile-profile scoring
-(kernels.scores), wavefront DP with traceback (kernels.scan), on-device
-pointer replay (kernels.replay), and path-composition of the merged node's
-profile (the pinned semantics of oracle.profile.compose_profiles, including
-the over-limit rescale in exact integer arithmetic) — whose operands and
-results are device arrays held in a host-side node table.  JAX dispatch is
-asynchronous, so the host enqueues all N-1 joins without ever blocking; the
-single synchronization is one device_get of the stacked per-join move tapes
-(1 byte per alignment column) at the end.  Gap injection into member rows is
-cheap vectorized numpy after that.
+Here profiles NEVER exist on the host during the walk: a device-resident
+NODE TABLE holds (counts, gaps, length, members) for every tree node, and
+each tree LEVEL runs as ONE jitted step over all of its independent joins —
+exact-integer profile-profile scoring (kernels.scores), batched wavefront
+DP with traceback (kernels.scan), on-device pointer replay (kernels.replay),
+and path-composition of the merged profiles (the pinned semantics of
+oracle.profile.compose_profiles, including the over-limit rescale in exact
+integer arithmetic) — gathering its operands from and scattering its
+results into the table.  Join counts pad to a pow2 grid so every level of
+every run reuses a handful of executables, and the single synchronization
+is one device_get of the per-level move tapes (1 byte per alignment
+column) at the end: a balanced tree over N sequences costs ~2*log2(N)
+dispatches instead of N-1 (round-2 change; per-join async enqueue still
+paid ~20 ms of dispatch latency per join on remote runtimes).  Gap
+injection into member rows is cheap vectorized numpy after the sync.
 
 A deliberately-NOT-used alternative was a ``lax.scan`` over the join
 schedule (one dispatch total): an inner DP scan that stacks traceback bits
@@ -45,10 +49,15 @@ from ..oracle.profile import COUNT_LIMIT, member_profile
 # vectors of length C_cap + 1 fill TPU lanes exactly).
 C_BUCKETS = (127, 255, 511, 1023, 2047, 4095)
 MAX_ATTEMPTS = 2
+# Joins per level-step dispatch (fixed: one executable per C_cap).
+LEVEL_CHUNK_J = 32
 
 
-@functools.lru_cache(maxsize=8)
-def _merge_step_jit(C_cap: int, A: int, gap_series: tuple[int, ...], inv_size: int):
+@functools.lru_cache(maxsize=64)
+def _level_step_jit(C_cap: int, A: int, gap_series: tuple[int, ...],
+                    inv_size: int, J: int):
+    """One tree LEVEL: gather J joins' operands from the node table, run
+    the batched DP + replay + profile composition, scatter results back."""
     import jax
     import jax.numpy as jnp
 
@@ -58,77 +67,91 @@ def _merge_step_jit(C_cap: int, A: int, gap_series: tuple[int, ...], inv_size: i
 
     steps = 2 * C_cap
 
-    @jax.jit
-    def step(cl, gl, Cl, nml, cr, gr, Cr, nmr, s, inv_table):
+    # Donation: the node tables are rewritten every level; reusing their
+    # buffers avoids an O(nodes * C_cap * A) copy per level (a no-op copy
+    # fallback on backends without donation support).
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+    def level(counts_tab, gaps_tab, len_tab, mem_tab, li, ri, oi, s, inv_table):
+        cl = jnp.take(counts_tab, li, axis=0)  # (J, C, A)
+        gl = jnp.take(gaps_tab, li, axis=0)
+        Cl = jnp.take(len_tab, li)
+        nml = jnp.take(mem_tab, li)
+        cr = jnp.take(counts_tab, ri, axis=0)
+        gr = jnp.take(gaps_tab, ri, axis=0)
+        Cr = jnp.take(len_tab, ri)
+        nmr = jnp.take(mem_tab, ri)
+
         # Column inverses via exact table lookup: totals are exact f32
         # integers and the table holds host-computed correctly-rounded f32
         # reciprocals (TPU division is not IEEE-exact).
-        totl = jnp.sum(cl, axis=1).astype(jnp.int32)
-        totr = jnp.sum(cr, axis=1).astype(jnp.int32)
+        totl = jnp.sum(cl, axis=2).astype(jnp.int32)
+        totr = jnp.sum(cr, axis=2).astype(jnp.int32)
         invl = inv_table[jnp.clip(totl, 0, inv_size - 1)]
         invr = inv_table[jnp.clip(totr, 0, inv_size - 1)]
 
-        hs = skewed_pair_scores(cl[None], invl[None], cr[None], invr[None], s)
+        hs = skewed_pair_scores(cl, invl, cr, invr, s)
         out = wavefront_dp(
-            hs, Cl[None], Cr[None], gap_series=gap_series, mode="global",
-            traceback=True,
+            hs, Cl, Cr, gap_series=gap_series, mode="global", traceback=True
         )
         moves, nmv = replay_moves(
             out["tb"], out["ti"], out["tj"], out["tcode"],
             gap_series=gap_series, mode="global", steps=steps,
         )
-        m = moves[0].astype(jnp.int32)  # (steps,) terminal -> origin
-        nn = nmv[0]
+        m = moves.astype(jnp.int32)  # (J, steps), terminal -> origin
 
-        # Compose the merged profile from the move tape (the pinned
+        # Compose the merged profiles from the move tapes (the pinned
         # semantics of oracle.profile.compose_profiles).  Emission position
         # p maps to output column c = nn - 1 - p; the source column in x is
         # ti - (#x-consuming moves among emission positions <= p).
-        p = jnp.arange(steps, dtype=jnp.int32)
+        p = jnp.arange(steps, dtype=jnp.int32)[None, :]
         valid = m > 0
         takes_x = (m == 1) | (m == 2)
         takes_y = (m == 1) | (m == 3)
-        rcx = jnp.cumsum(takes_x.astype(jnp.int32))
-        rcy = jnp.cumsum(takes_y.astype(jnp.int32))
-        xi = jnp.clip(out["ti"][0] - rcx, 0, C_cap - 1)
-        yi = jnp.clip(out["tj"][0] - rcy, 0, C_cap - 1)
-        c = jnp.clip(nn - 1 - p, 0, C_cap - 1)
+        rcx = jnp.cumsum(takes_x.astype(jnp.int32), axis=1)
+        rcy = jnp.cumsum(takes_y.astype(jnp.int32), axis=1)
+        xi = jnp.clip(out["ti"][:, None] - rcx, 0, C_cap - 1)
+        yi = jnp.clip(out["tj"][:, None] - rcy, 0, C_cap - 1)
+        c = jnp.clip(nmv[:, None] - 1 - p, 0, C_cap - 1)
 
-        wx = (takes_x & valid).astype(jnp.float32)[:, None]
-        wy = (takes_y & valid).astype(jnp.float32)[:, None]
-        contrib = jnp.take(cl, xi, axis=0) * wx + jnp.take(cr, yi, axis=0) * wy
+        wx = (takes_x & valid).astype(jnp.float32)[:, :, None]
+        wy = (takes_y & valid).astype(jnp.float32)[:, :, None]
+        contrib = (
+            jnp.take_along_axis(cl, xi[:, :, None], axis=1) * wx
+            + jnp.take_along_axis(cr, yi[:, :, None], axis=1) * wy
+        )
+        fl = nml[:, None].astype(jnp.float32)
+        fr = nmr[:, None].astype(jnp.float32)
         gap_contrib = jnp.where(
             valid,
-            jnp.where(takes_x, jnp.take(gl, xi), nml.astype(jnp.float32))
-            + jnp.where(takes_y, jnp.take(gr, yi), nmr.astype(jnp.float32)),
+            jnp.where(takes_x, jnp.take_along_axis(gl, xi, axis=1), fl)
+            + jnp.where(takes_y, jnp.take_along_axis(gr, yi, axis=1), fr),
             0.0,
         )
-        new_counts = jnp.zeros((C_cap, A), jnp.float32).at[c].add(contrib)
-        new_gaps = jnp.zeros((C_cap,), jnp.float32).at[c].add(gap_contrib)
+        jrow = jnp.arange(J, dtype=jnp.int32)[:, None]
+        new_counts = jnp.zeros((J, C_cap, A), jnp.float32).at[jrow, c].add(contrib)
+        new_gaps = jnp.zeros((J, C_cap), jnp.float32).at[jrow, c].add(gap_contrib)
 
         # Over-limit rescale in exact integer arithmetic:
         # (512*c + n) // (2*n) == floor(c*256/n + 0.5) for these magnitudes
         # (oracle.profile.rescale_counts states the same function in float64;
         # tests/oracle/test_profile_rescale.py pins their equality).
-        totals = jnp.sum(new_counts, axis=1) + new_gaps
+        totals = jnp.sum(new_counts, axis=2) + new_gaps
         over = totals > COUNT_LIMIT
         n_i = jnp.maximum(totals.astype(jnp.int32), 1)
         c_i = new_counts.astype(jnp.int32)
-        q = (512 * c_i + n_i[:, None]) // (2 * n_i[:, None])
+        q = (512 * c_i + n_i[:, :, None]) // (2 * n_i[:, :, None])
         qg = (512 * new_gaps.astype(jnp.int32) + n_i) // (2 * n_i)
-        new_counts = jnp.where(over[:, None], q.astype(jnp.float32), new_counts)
+        new_counts = jnp.where(over[:, :, None], q.astype(jnp.float32), new_counts)
         new_gaps = jnp.where(over, qg.astype(jnp.float32), new_gaps)
 
-        return new_counts, new_gaps, nn, nml + nmr, moves[0], out["score"][0]
+        # Scatter the merged nodes (pad joins target the trash slot).
+        counts_tab = counts_tab.at[oi].set(new_counts)
+        gaps_tab = gaps_tab.at[oi].set(new_gaps)
+        len_tab = len_tab.at[oi].set(nmv)
+        mem_tab = mem_tab.at[oi].set(nml + nmr)
+        return counts_tab, gaps_tab, len_tab, mem_tab, moves, nmv
 
-    return step
-
-
-@functools.lru_cache(maxsize=8)
-def _stack_jit(count: int):
-    import jax
-
-    return jax.jit(lambda *xs: jax.numpy.stack(xs))
+    return level
 
 
 def try_device_merge(
@@ -176,40 +199,65 @@ def try_device_merge(
     s_dev = jnp.asarray(matrix.as_f32())
     inv_dev = jnp.asarray(inv_table)
 
+    from .pipeline import _merge_levels
+
+    levels = _merge_levels(tree)
     for C_cap in attempts:
-        step = _merge_step_jit(C_cap, A, tuple(config.gap_series), inv_size)
-
-        # Device-resident node table: (counts, gaps, len, nmem) per node.
-        nodes_dev: dict[int, tuple] = {}
-        one = jnp.asarray(np.int32(1))
+        # Device-resident node table: slot i = node i, last slot = trash
+        # (pow2-padded pad joins write there; it is never read).
+        M = 2 * n
+        counts_np = np.zeros((M, C_cap, A), dtype=np.float32)
+        gaps_np = np.zeros((M, C_cap), dtype=np.float32)
+        len_np = np.ones((M,), dtype=np.int32)
+        mem_np = np.ones((M,), dtype=np.int32)
         for i, p in enumerate(leaf_profs):
-            counts = np.zeros((C_cap, A), dtype=np.float32)
-            counts[: p.length] = p.counts
-            gaps = np.zeros((C_cap,), dtype=np.float32)
-            gaps[: p.length] = p.gaps
-            nodes_dev[i] = (
-                jnp.asarray(counts),
-                jnp.asarray(gaps),
-                jnp.asarray(np.int32(p.length)),
-                one,
-            )
+            counts_np[i, : p.length] = p.counts
+            gaps_np[i, : p.length] = p.gaps
+            len_np[i] = p.length
+        counts_tab = jnp.asarray(counts_np)
+        gaps_tab = jnp.asarray(gaps_np)
+        len_tab = jnp.asarray(len_np)
+        mem_tab = jnp.asarray(mem_np)
 
-        tapes = []
-        lens_out = []
-        for k, (l, r) in enumerate(tree.joins):
-            a = nodes_dev.pop(l)
-            b = nodes_dev.pop(r)
-            nc, ng, nn, nm, moves, _score = step(*a, *b, s_dev, inv_dev)
-            nodes_dev[n + k] = (nc, ng, nn, nm)
-            tapes.append(moves)
-            lens_out.append(nn)
+        # ONE executable for the whole walk: every level runs in fixed-size
+        # chunks of LEVEL_CHUNK_J joins (padded; pads hit the trash slot).
+        # Each NEW executable costs seconds of per-process upload/init on
+        # remote runtimes, so a per-level-size shape grid loses to a single
+        # shape with trivially wasted pad compute.
+        step = _level_step_jit(
+            C_cap, A, tuple(config.gap_series), inv_size, LEVEL_CHUNK_J
+        )
+        level_out = []
+        for level in levels:
+            for s0 in range(0, len(level), LEVEL_CHUNK_J):
+                chunk = level[s0 : s0 + LEVEL_CHUNK_J]
+                Jl = len(chunk)
+                li = np.empty(LEVEL_CHUNK_J, np.int32)
+                ri = np.empty(LEVEL_CHUNK_J, np.int32)
+                oi = np.full(LEVEL_CHUNK_J, M - 1, np.int32)  # pads -> trash
+                li[:Jl] = [tree.joins[k][0] for k in chunk]
+                ri[:Jl] = [tree.joins[k][1] for k in chunk]
+                oi[:Jl] = [n + k for k in chunk]
+                li[Jl:] = li[0]  # pads re-merge join 0's nodes (reads only)
+                ri[Jl:] = ri[0]
+                counts_tab, gaps_tab, len_tab, mem_tab, moves, nmv = step(
+                    counts_tab, gaps_tab, len_tab, mem_tab,
+                    jnp.asarray(li), jnp.asarray(ri), jnp.asarray(oi),
+                    s_dev, inv_dev,
+                )
+                level_out.append((chunk, moves, nmv))
 
-        stacked = _stack_jit(len(tapes))(*tapes)
-        ncols_dev = _stack_jit(len(lens_out))(*lens_out)
-        moves_all, ncols = jax.device_get((stacked, ncols_dev))
-        ncols = np.asarray(ncols)
+        # ONE synchronization for the whole walk.
+        got = jax.device_get([(mv, nv) for _, mv, nv in level_out])
+        njoins = len(tree.joins)
+        moves_all = np.zeros((njoins, 2 * C_cap), dtype=np.uint8)
+        ncols = np.zeros(njoins, dtype=np.int64)
+        for (level, _, _), (mv, nv) in zip(level_out, got):
+            for r, k in enumerate(level):
+                moves_all[k] = mv[r]
+                ncols[k] = int(nv[r])
         if int(ncols.max(initial=0)) <= C_cap:
-            return _assemble(sequences, tree, np.asarray(moves_all), ncols)
+            return _assemble(sequences, tree, moves_all, ncols)
     return None
 
 

@@ -148,13 +148,21 @@ def batched_all_pairs(
         else:
             if fault_hook is not None:
                 fault_hook(tile_id)
+            # Scores-only dispatches carry no traceback memory, so the
+            # distance stage batches 4x wider than the configured default:
+            # fewer round trips on the O(N^2) hot stage (each dispatch
+            # costs tens of ms of dispatch latency on remote runtimes).
+            kwargs = _batch_kwargs(config, mesh)
+            kwargs["batch_pairs"] = min(
+                4 * config.batch_pairs, DISTANCE_TILE_PAIRS
+            )
             results = align_pairs_batched(
                 [(profiles[i], profiles[j]) for i, j in tile],
                 matrix,
                 config.gap_series,
                 config.distance_mode,
                 traceback=False,
-                **_batch_kwargs(config, mesh),
+                **kwargs,
             )
             tile_scores = np.array([r.score for r in results])
             tile_lengths = np.array([r.length for r in results])

@@ -45,14 +45,15 @@ def test_cells_per_second_floor():
 def test_msa_wallclock_floor():
     """End-to-end floor (VERDICT r1 item 9): the progressive-MSA product
     path, where host-side regressions live — not just the headline kernel.
-    Round-2 measured 3.8s on the v5e (was 18s in round 1); floor at 8s."""
+    Round-2 measured 1.0s steady-state on the v5e (was 18s in round 1);
+    floor at 5s leaves room for relay-state variance."""
     result = _run_bench("msa")
-    assert result["value"] <= 8.0, result
+    assert result["value"] <= 5.0, result
 
 
 @requires_perf
 def test_preprofile_wallclock_floor():
     """Config-4 floor: global master-slave preprofiles end to end.
-    Round-2 measured 6.9s warm on the v5e (was 55s in round 1)."""
+    Round-2 measured 2.0s steady-state on the v5e (was 55s in round 1)."""
     result = _run_bench("preprofile")
-    assert result["value"] <= 15.0, result
+    assert result["value"] <= 8.0, result

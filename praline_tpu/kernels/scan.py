@@ -221,28 +221,50 @@ def _wavefront(hs, hrow_fn, D, B, Lp, lx, ly, gap_series, mode, traceback,
 
     _ring_perm = [(i, i + 1) for i in range(ring_n - 1)]
 
-    def _ring_left(v, fill):
-        """Boundary lane from the left neighbour (ppermute); the first
-        device (global lane 0) gets ``fill`` — non-receivers of an
-        incomplete perm get zeros, so overwrite by lane_base."""
-        left = jax.lax.ppermute(v[:, -1:], ring_axis, _ring_perm)
-        return jnp.where(lane_base == 0, jnp.full_like(left, fill), left)
-
-    def shift_v(v):  # lane i <- lane i-1, NEG fill
-        head = (
-            _ring_left(v, NEG)
-            if ring_axis is not None
-            else jnp.full_like(v[:, :1], NEG)
-        )
-        return jnp.concatenate([head, v[:, :-1]], axis=1)
+    def shift_v(v):  # lane i <- lane i-1, NEG fill (single-device form)
+        return jnp.concatenate([jnp.full_like(v[:, :1], NEG), v[:, :-1]], axis=1)
 
     def shift_z(v):  # zero fill (lengths / codes)
-        head = (
-            _ring_left(v, jnp.zeros((), v.dtype))
-            if ring_axis is not None
-            else jnp.zeros_like(v[:, :1])
-        )
-        return jnp.concatenate([head, v[:, :-1]], axis=1)
+        return jnp.concatenate([jnp.zeros_like(v[:, :1]), v[:, :-1]], axis=1)
+
+    def shift_all(vals_v, vals_z, vals_zi):
+        """Shift every carry vector one lane right in ONE exchange.
+
+        ``vals_v`` fill with NEG, ``vals_z``/``vals_zi`` (float/int) with
+        zero.  In ring mode all boundary lanes cross to the right
+        neighbour as a single stacked ``ppermute`` (int arrays ride along
+        bitcast to f32) instead of one collective per vector — per-step
+        ring latency is what bounds a multi-device single alignment.
+        Non-receivers of the incomplete perm get zeros; the first device
+        (global lane 0) overwrites with the border fill.
+        """
+        if ring_axis is None:
+            return (
+                [shift_v(v) for v in vals_v],
+                [shift_z(v) for v in vals_z],
+                [shift_z(v) for v in vals_zi],
+            )
+        tails = [v[:, -1] for v in vals_v] + [v[:, -1] for v in vals_z] + [
+            jax.lax.bitcast_convert_type(v[:, -1], jnp.float32) for v in vals_zi
+        ]
+        recv = jax.lax.ppermute(jnp.stack(tails), ring_axis, _ring_perm)
+        first = lane_base == 0
+        out_v, out_z, out_zi = [], [], []
+        i = 0
+        for v in vals_v:
+            head = jnp.where(first, NEG, recv[i])[:, None]
+            out_v.append(jnp.concatenate([head, v[:, :-1]], axis=1))
+            i += 1
+        for v in vals_z:
+            head = jnp.where(first, jnp.zeros((), v.dtype), recv[i])[:, None]
+            out_z.append(jnp.concatenate([head, v[:, :-1]], axis=1))
+            i += 1
+        for v in vals_zi:
+            bits = jax.lax.bitcast_convert_type(recv[i], v.dtype)
+            head = jnp.where(first, jnp.zeros((), v.dtype), bits)[:, None]
+            out_zi.append(jnp.concatenate([head, v[:, :-1]], axis=1))
+            i += 1
+        return out_v, out_z, out_zi
 
     def pick_lane(v, idx, fill):
         """v (B, Lp), idx (B,) -> (B,): value at lane idx via a masked
@@ -258,8 +280,17 @@ def _wavefront(hs, hrow_fn, D, B, Lp, lx, ly, gap_series, mode, traceback,
     def take_lane(v, idx):
         return pick_lane(v, idx, NEG)
 
-    def take_lane_i(v, idx):
-        return pick_lane(v, idx, jnp.zeros((), v.dtype) - 1)
+    def take_triple(bv, bl, bc, idx):
+        """(value, length, code) at lane ``idx`` — in ring mode all three
+        finish in ONE stacked pmax instead of three."""
+        mask = lane == idx[:, None]
+        v = jnp.max(jnp.where(mask, bv, NEG), axis=1)
+        l = jnp.max(jnp.where(mask, bl, NEG), axis=1)
+        c = jnp.max(jnp.where(mask, bc.astype(jnp.float32), -1.0), axis=1)
+        if ring_axis is not None:
+            st = jax.lax.pmax(jnp.stack([v, l, c]), ring_axis)
+            v, l, c = st[0], st[1], st[2]
+        return v, l, c.astype(jnp.int32)
 
     def step(carry, inp):
         d, hrow = inp
@@ -269,8 +300,14 @@ def _wavefront(hs, hrow_fn, D, B, Lp, lx, ly, gap_series, mode, traceback,
             tval, tlen, ti, tj, tcode,
         ) = carry
 
-        m1s, lm1s = shift_v(m1), shift_z(lm1)
-        b2vs, b2ls, b2cs = shift_v(r2v), shift_z(r2l), shift_z(r2c)
+        sv, sz, szi = shift_all(
+            [m1, r2v] + list(ix1), [lm1, r2l] + list(lix1), [r2c]
+        )
+        m1s, b2vs = sv[0], sv[1]
+        ix1_sh = sv[2:]
+        lm1s, b2ls = sz[0], sz[1]
+        lix1_sh = sz[2:]
+        b2cs = szi[0]
 
         # ---- gap states for diag d ----
         nix = [None] * k
@@ -278,7 +315,7 @@ def _wavefront(hs, hrow_fn, D, B, Lp, lx, ly, gap_series, mode, traceback,
         nlix = [None] * k
         nliy = [None] * k
         if k == 1:
-            ix1s, lix1s = shift_v(ix1[0]), shift_z(lix1[0])
+            ix1s, lix1s = ix1_sh[0], lix1_sh[0]
             stay_x = ix1s > m1s
             nix[0] = jnp.where(stay_x, ix1s, m1s) - g[0]
             nlix[0] = jnp.where(stay_x, lix1s, lm1s) + 1.0
@@ -286,8 +323,8 @@ def _wavefront(hs, hrow_fn, D, B, Lp, lx, ly, gap_series, mode, traceback,
             niy[0] = jnp.where(stay_y, iy1[0], m1) - g[0]
             nliy[0] = jnp.where(stay_y, liy1[0], lm1) + 1.0
         else:
-            ix1s = [shift_v(v) for v in ix1]
-            lix1s = [shift_z(v) for v in lix1]
+            ix1s = list(ix1_sh)
+            lix1s = list(lix1_sh)
             nix[0] = m1s - g[0]
             nlix[0] = lm1s + 1.0
             niy[0] = m1 - g[0]
@@ -350,10 +387,10 @@ def _wavefront(hs, hrow_fn, D, B, Lp, lx, ly, gap_series, mode, traceback,
         # ---- terminal tracking ----
         if mode == "global":
             pick = d == (lx + ly)
-            term_lane = lx
-            tval = jnp.where(pick, take_lane(bv, term_lane), tval)
-            tlen = jnp.where(pick, take_lane(bl, term_lane), tlen)
-            tcode = jnp.where(pick, take_lane_i(bc, term_lane), tcode)
+            cv, cl, cc = take_triple(bv, bl, bc, lx)
+            tval = jnp.where(pick, cv, tval)
+            tlen = jnp.where(pick, cl, tlen)
+            tcode = jnp.where(pick, cc, tcode)
             ti = jnp.where(pick, lx, ti)
             tj = jnp.where(pick, ly, tj)
         elif semi:
@@ -363,9 +400,7 @@ def _wavefront(hs, hrow_fn, D, B, Lp, lx, ly, gap_series, mode, traceback,
                 (d - ly, ly, (d - ly >= 0) & (d - ly <= lx)),
                 (lx, d - lx, (d - lx >= 0) & (d - lx <= ly)),
             ):
-                cv = take_lane(bv, cand_i)
-                cl = take_lane(bl, cand_i)
-                cc = take_lane_i(bc, cand_i)
+                cv, cl, cc = take_triple(bv, bl, bc, cand_i)
                 better = cv > tval
                 tie = (cv == tval) & (
                     (cand_i > ti) | ((cand_i == ti) & (cand_j > tj))

@@ -62,6 +62,45 @@ for arr, spec in (
 out = sharded_wavefront_dp(mesh, *args, gap_series=(11, 1), mode="global")
 scores = np.asarray(out["score"].addressable_shards[0].data).ravel()
 lengths = np.asarray(out["length"].addressable_shards[0].data).ravel()
+
+# Production path cross-process: indexed sharded dispatch (replicated
+# one-hot token stacks, sharded index vectors, Gloo all_gather).
+from praline_tpu.dist.allpairs import sharded_indexed_dispatch
+
+NPROF = 6
+toks = rng.integers(0, 20, size=(NPROF, 15)).astype(np.int8)
+lens = np.full(NPROF, 15, np.int32)
+ix = (np.arange(B) % NPROF).astype(np.int32)
+iy = ((np.arange(B) * 3 + 1) % NPROF).astype(np.int32)
+import jax.numpy as jnp
+
+
+def _repl(a):
+    return jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P()), a, a.shape
+    )
+
+
+def _shard(a):
+    return jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P("pairs")), a[pid * half : (pid + 1) * half], a.shape
+    )
+
+
+iout = sharded_indexed_dispatch(
+    mesh,
+    _repl(toks), _repl(np.zeros((1, 1), np.float32)), _repl(lens),
+    _repl(toks), _repl(np.zeros((1, 1), np.float32)), _repl(lens),
+    _shard(ix), _shard(iy), _repl(np.asarray(s)),
+    gap_series=(11, 1), mode="global", traceback=False, backend="xla",
+    qd=None, replay=False, onehot_x=True, onehot_y=True, A=A,
+)
+iscores = np.asarray(iout["score"].addressable_shards[0].data).ravel()
+ilengths = np.asarray(iout["length"].addressable_shards[0].data).ravel()
+
 if pid == 0:
-    np.savez(out_path, scores=scores, lengths=lengths)
+    np.savez(
+        out_path, scores=scores, lengths=lengths,
+        iscores=iscores, ilengths=ilengths, toks=toks, ix=ix, iy=iy,
+    )
 print(f"[{pid}] OK", flush=True)

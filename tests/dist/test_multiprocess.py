@@ -65,3 +65,16 @@ def test_two_process_sharded_allpairs(tmp_path):
     want = align_pairs_batched(pairs, builtin_score_matrix("blosum62"), (11, 1), "global")
     np.testing.assert_array_equal(data["scores"], [w.score for w in want])
     np.testing.assert_array_equal(data["lengths"], [w.length for w in want])
+
+    # The production indexed sharded dispatch, cross-process.
+    toks, ix, iy = data["toks"], data["ix"], data["iy"]
+    iprofs = [
+        Profile.from_tokens(toks[u].astype(np.int32), ALPHABET_AA)
+        for u in range(toks.shape[0])
+    ]
+    ipairs = [(iprofs[a], iprofs[b]) for a, b in zip(ix, iy)]
+    iwant = align_pairs_batched(
+        ipairs, builtin_score_matrix("blosum62"), (11, 1), "global"
+    )
+    np.testing.assert_array_equal(data["iscores"], [w.score for w in iwant])
+    np.testing.assert_array_equal(data["ilengths"], [w.length for w in iwant])

@@ -40,3 +40,44 @@ def test_goldens_look_like_alignments():
     assert text.count(">") == 10
     rows = [l for l in text.splitlines() if not l.startswith(">")]
     assert rows and all(set(r) <= set("ARNDCQEGHILKMFPSTWYVBZX-") for r in rows)
+
+
+DIV_CONFIGS = {
+    "default": ("blosum62", PralineConfig()),
+    "pam250_semi_pplocal": (
+        "pam250",
+        PralineConfig(
+            merge_mode="semiglobal", preprofile_mode="local",
+            gap_series=(10, 2), linkage="single",
+        ),
+    ),
+}
+
+
+@pytest.mark.parametrize("tag", sorted(DIV_CONFIGS))
+def test_family16div_golden_byte_equal(tag):
+    """Harder BAliBASE-style set: 16 leaves of a simulated 4-level
+    evolution (substitutions + indels), twilight-zone divergence."""
+    mname, cfg = DIV_CONFIGS[tag]
+    seqs = load_sequence_fasta(TESTDATA / "family16div.fasta", ALPHABET_AA)
+    aln = msa_align(seqs, builtin_score_matrix(mname), cfg)
+    assert format_alignment_fasta(aln) == (
+        TESTDATA / f"family16div.{tag}.golden.fasta"
+    ).read_text()
+    assert format_alignment_clustal(aln) == (
+        TESTDATA / f"family16div.{tag}.golden.aln"
+    ).read_text()
+
+
+def test_dna8_golden_byte_equal():
+    from praline_tpu import ALPHABET_DNA
+
+    seqs = load_sequence_fasta(TESTDATA / "dna8.fasta", ALPHABET_DNA)
+    cfg = PralineConfig(gap_series=(8, 2), alphabet="dna", score_matrix="dna_simple")
+    aln = msa_align(seqs, builtin_score_matrix("dna_simple"), cfg)
+    assert format_alignment_fasta(aln) == (
+        TESTDATA / "dna8.default.golden.fasta"
+    ).read_text()
+    assert format_alignment_clustal(aln) == (
+        TESTDATA / "dna8.default.golden.aln"
+    ).read_text()

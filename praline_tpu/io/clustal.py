@@ -79,9 +79,13 @@ def parse_alignment_clustal(text: str, alphabet) -> "object":
             continue
         if len(parts) < 2:
             continue
-        # a data row is ``name  chunk`` with an optional trailing cumulative
-        # residue-count column (clustalw -SEQNOS style)
-        name, seq = parts[0], parts[1]
+        # a data row is ``name  chunk [chunk ...]`` with an optional trailing
+        # cumulative residue-count column (clustalw -SEQNOS style); raise on
+        # anything else rather than silently truncating the row
+        name, fields = parts[0], parts[1:]
+        if len(fields) > 1 and fields[-1].isdigit():
+            fields = fields[:-1]
+        seq = "".join(fields)
         bad = set(seq) - allowed
         if bad:
             raise ValueError(

@@ -492,11 +492,26 @@ def align_pairs_batched(
         hs_bytes = (bx + by + 1) * Lp_g * 4
         tb_bytes = (bx + by - 1) * Lp_g
         lane_over = backend == "pallas" and Lp_g > _lane_cap(gap_series, traceback)
-        stream = lane_over or (backend == "xla" and hs_bytes > HS_BYTES_BUDGET)
+        # A single problem's materialized hs past the budget streams on
+        # EITHER backend (the fused Pallas producer materializes the same
+        # O(D*Lp) tensor in HBM as the XLA gather path).
+        stream = lane_over or hs_bytes > HS_BYTES_BUDGET
         use_native = stream and traceback and tb_bytes > TB_BYTES_BUDGET
         oversized = (
             backend == "pallas" and by > bucket_sizes[-1] and not stream
         )
+        # Per-dispatch batch cap so the whole dispatch's hs (+tb) stays
+        # inside the byte budgets regardless of the configured batch size.
+        eff_batch = max(1, min(batch_pairs, HS_BYTES_BUDGET // max(hs_bytes, 1)))
+        if traceback:
+            eff_batch = max(1, min(eff_batch, TB_BYTES_BUDGET // max(tb_bytes, 1)))
+        # Host-replay traceback (local mode) holds pulled tb tensors in the
+        # in-flight queue: bound the queue by bytes, not just count.
+        group_in_flight = max_in_flight
+        if traceback and not device_replay:
+            group_in_flight = max(
+                1, min(max_in_flight, TB_BYTES_BUDGET // max(tb_bytes * eff_batch, 1))
+            )
         group_backend = backend
         if oversized and mesh is not None:
             # Chunked diagonal execution is single-device; under a mesh the
@@ -516,10 +531,17 @@ def align_pairs_batched(
                 )
             continue
         if stream:
-            # Bound in-flight traceback bits to the budget per dispatch.
-            sub = len(idxs)
+            # Long-tail path: runs single-device even under a mesh (the
+            # streamed scan has no sharded variant; oversized problems are
+            # rare next to the O(N^2) batched stage).  Batches bounded by
+            # the operand footprint (O(B*L*A) padded count tensors) and,
+            # with traceback, by the tb-bit budget.
+            operand_bytes = (3 * bx + 2 * by) * matrix.alphabet.size * 4
+            sub = max(1, min(
+                batch_pairs, HS_BYTES_BUDGET // max(operand_bytes, 1)
+            ))
             if traceback:
-                sub = max(1, int(TB_BYTES_BUDGET // max(tb_bytes, 1)))
+                sub = max(1, min(sub, TB_BYTES_BUDGET // max(tb_bytes, 1)))
             for s0 in range(0, len(idxs), sub):
                 chunk = idxs[s0 : s0 + sub]
                 pxs = [pairs[i][0] for i in chunk]
@@ -537,11 +559,11 @@ def align_pairs_batched(
                         traceback=traceback, replay=device_replay,
                     )
                 in_flight.append((chunk, pxs, pys, lx, ly, out))
-                drain(max_in_flight)
+                drain(group_in_flight)
             continue
 
-        for start in range(0, len(idxs), batch_pairs):
-            chunk = idxs[start : start + batch_pairs]
+        for start in range(0, len(idxs), eff_batch):
+            chunk = idxs[start : start + eff_batch]
             pxs = [pairs[i][0] for i in chunk]
             pys = [pairs[i][1] for i in chunk]
             # Pad the batch to {32, 128, 512, ...} (powers of four with a
@@ -552,8 +574,8 @@ def align_pairs_batched(
             target = 32
             while target < len(chunk):
                 target *= 4
-            target = min(target, batch_pairs)
-            if target < len(chunk):  # batch_pairs below the pow4 grid
+            target = min(target, eff_batch)
+            if target < len(chunk):  # eff_batch below the pow4 grid
                 target = len(chunk)
             if mesh is not None:
                 n_dev = int(np.prod(mesh.devices.shape))
@@ -584,7 +606,7 @@ def align_pairs_batched(
                 if traceback:
                     out["tb"] = np.concatenate(out.pop("tb_chunks"), axis=0)
                 in_flight.append((chunk, pxs, pys, lx, ly, out))
-                drain(max_in_flight)
+                drain(group_in_flight)
                 continue
 
             # Indexed dispatch: profile stacks live on device; the chunk
@@ -626,6 +648,6 @@ def align_pairs_batched(
                 with annotate(f"dispatch:{bx}x{by}x{len(chunk)}"):
                     out = _indexed_jit()(*operands, **static)
             in_flight.append((chunk, pxs, pys, lx, ly, out))
-            drain(max_in_flight)
+            drain(group_in_flight)
     drain(0)
     return results

@@ -41,9 +41,9 @@ import functools
 
 import numpy as np
 
-from ..types import Alignment, PralineConfig, ScoreMatrix, Sequence, SequenceTree
-from ..oracle.merge import inject_gaps
-from ..oracle.profile import COUNT_LIMIT, member_profile
+from ..types import Alignment, PralineConfig, Profile, ScoreMatrix, Sequence, SequenceTree
+from ..oracle.merge import inject_gaps, reorder_to_input
+from ..oracle.profile import COUNT_LIMIT, member_profile, rescale_counts
 
 # Column-capacity ladder (2^n - 1 like the batch driver's buckets: diagonal
 # vectors of length C_cap + 1 fill TPU lanes exactly).
@@ -174,13 +174,22 @@ def try_device_merge(
     n = len(sequences)
     if n < 2 or any(s.length == 0 for s in sequences):
         return None
-    leaf_profs = [member_profile(s) for s in sequences]
+    # Leaves enter the walk exactly as node_profile builds them for the
+    # per-level/oracle paths: preprofile counts with the over-limit
+    # rescale applied (a >COUNT_LIMIT leaf — huge homology-extended
+    # preprofiles — would otherwise silently diverge from the contract).
+    leaf_profs = []
+    for s in sequences:
+        p = member_profile(s)
+        c, g = rescale_counts(p.counts, p.gaps)
+        leaf_profs.append(Profile(c, g, p.alphabet))
     A = matrix.alphabet.size
     max_total = max(
         float(p.counts.sum(axis=1).max(initial=1.0)) for p in leaf_profs
     )
     # Exactness bound for count-space matmuls (oracle.score): composed
-    # profiles rescale above COUNT_LIMIT, leaves do not — bound on both.
+    # profiles rescale above COUNT_LIMIT, rescaled leaves stay below it —
+    # bound on both.
     bound = max(max_total, COUNT_LIMIT + A)
     if bound * bound * float(np.abs(matrix.scores).max()) >= 2**24:
         return None
@@ -287,18 +296,4 @@ def _assemble(
         nodes[n + k] = Alignment(left.members + right.members, rows)
     METRICS.add_pairs("merge", len(tree.joins), cells)
 
-    root = nodes[tree.root]
-    index_of = {id(m): k for k, m in enumerate(root.members)}
-    perm = []
-    used: set[int] = set()
-    for seq in sequences:
-        k = index_of.get(id(seq))
-        if k is None:
-            k = next(
-                i
-                for i, m in enumerate(root.members)
-                if i not in used and m.name == seq.name
-            )
-        used.add(k)
-        perm.append(k)
-    return Alignment(tuple(root.members[k] for k in perm), root.rows[perm])
+    return reorder_to_input(nodes[tree.root], sequences)

@@ -31,7 +31,7 @@ from ..types import (
     TRACK_ID_PREPROFILE,
 )
 from ..oracle.align import AlignResult
-from ..oracle.merge import full_coverage_path, inject_gaps
+from ..oracle.merge import full_coverage_path, inject_gaps, reorder_to_input
 from ..oracle.msa import oracle_msa
 from ..oracle.preprofile import star_counts, project_to_master
 from ..oracle.profile import compose_profiles, member_profile, node_profile
@@ -252,19 +252,7 @@ def batched_progressive_merge(
                 pl, pr, left.num_members, right.num_members, cols_x, cols_y
             )
 
-    root = nodes[tree.root]
-    index_of = {id(m): k for k, m in enumerate(root.members)}
-    perm = []
-    used: set[int] = set()
-    for seq in sequences:
-        k = index_of.get(id(seq))
-        if k is None:
-            k = next(
-                i for i, m in enumerate(root.members) if i not in used and m.name == seq.name
-            )
-        used.add(k)
-        perm.append(k)
-    return Alignment(tuple(root.members[k] for k in perm), root.rows[perm])
+    return reorder_to_input(nodes[tree.root], sequences)
 
 
 def msa_align(

@@ -94,15 +94,19 @@ def progressive_merge(
         profiles[n + k] = compose_profiles(
             pl, pr, left.num_members, right.num_members, cols_x, cols_y
         )
-    root = nodes[tree.root]
+    return reorder_to_input(nodes[tree.root], sequences)
 
-    # Reorder rows back to input order.
+
+def reorder_to_input(root: Alignment, sequences) -> Alignment:
+    """Root alignment rows permuted back to input order (§8.6: record
+    order = input order).  Matches members by identity first (sequences
+    flow through the walk unchanged), then by name as a fallback for
+    reconstructed members.  Shared by the oracle walk, the per-level
+    batched merge and the device-resident merge."""
     index_of = {id(m): k for k, m in enumerate(root.members)}
     perm = []
     used = set()
     for seq in sequences:
-        # Match by identity first (sequences flow through unchanged), then by
-        # name as a fallback for reconstructed members.
         k = index_of.get(id(seq))
         if k is None:
             k = next(

@@ -47,7 +47,13 @@ def _validate(similarity: np.ndarray, linkage: str) -> tuple[np.ndarray, int]:
 
 
 def build_guide_tree(similarity: np.ndarray, linkage: str = "average") -> SequenceTree:
-    """O(N^2) incremental-linkage guide tree (semantics pinned above)."""
+    """Incremental-linkage guide tree (semantics pinned above).
+
+    ~O(N^2) on typical inputs; tie-heavy matrices (many exactly-equal
+    linkages, e.g. duplicate-rich sets) invalidate many best-partner
+    caches per join and degrade gracefully toward O(N^3) vectorized work
+    — results stay identical to the reference builder either way.
+    """
     sim, n = _validate(similarity, linkage)
     if n == 1:
         return SequenceTree(1, ())

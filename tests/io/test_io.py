@@ -157,3 +157,25 @@ def test_clustal_junk_residue_raises():
     text = "CLUSTAL x\n\na  MKV@LAW\n"
     with pytest.raises(ValueError, match="unrecognized residue"):
         parse_alignment_clustal(text, ALPHABET_AA)
+
+
+def test_clustal_multi_chunk_rows_not_truncated():
+    """Rows with several whitespace-separated residue blocks must join, not
+    silently truncate (round-2 review fix); a trailing integer column still
+    strips (SEQNOS)."""
+    from praline_tpu.io.clustal import parse_alignment_clustal
+
+    text = (
+        "CLUSTAL W (1.83) multiple sequence alignment\n\n"
+        "a   MKVLAW GYPVED 12\n"
+        "b   MKVLAW GYP-ED 11\n"
+    )
+    aln = parse_alignment_clustal(text, ALPHABET_AA)
+    assert aln.num_members == 2
+    assert aln.num_columns == 12
+    import numpy as np
+
+    from praline_tpu.io import format_alignment_fasta
+
+    out = format_alignment_fasta(aln)
+    assert "MKVLAWGYPVED" in out and "MKVLAWGYP-ED" in out

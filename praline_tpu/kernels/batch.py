@@ -175,6 +175,20 @@ def _lane_cap(gap_series, traceback) -> int:
 # C++ kernel on the host (exact-parity twin) instead of the device.
 HS_BYTES_BUDGET = 1 << 30
 TB_BYTES_BUDGET = 1 << 31
+# Whole-dispatch HBM budget: batch sizes shrink (snapped to the pow4
+# grid, so no new executable shapes) until hs/tb for the dispatch fit.
+DISPATCH_BYTES_BUDGET = 6 << 30
+
+
+def _snap_batch(cap: int, batch_pairs: int) -> int:
+    """Largest pow4-grid batch (32, 128, 512, ...) <= min(cap, batch_pairs);
+    below the grid floor, the exact cap."""
+    if cap < 32:
+        return max(1, cap)
+    b = 32
+    while b * 4 <= min(cap, batch_pairs):
+        b *= 4
+    return min(b, batch_pairs)
 
 
 def align_tracksets_batched(
@@ -501,10 +515,11 @@ def align_pairs_batched(
             backend == "pallas" and by > bucket_sizes[-1] and not stream
         )
         # Per-dispatch batch cap so the whole dispatch's hs (+tb) stays
-        # inside the byte budgets regardless of the configured batch size.
-        eff_batch = max(1, min(batch_pairs, HS_BYTES_BUDGET // max(hs_bytes, 1)))
-        if traceback:
-            eff_batch = max(1, min(eff_batch, TB_BYTES_BUDGET // max(tb_bytes, 1)))
+        # inside the HBM budget regardless of the configured batch size.
+        per_prob = hs_bytes + (tb_bytes if traceback else 0)
+        eff_batch = _snap_batch(
+            DISPATCH_BYTES_BUDGET // max(per_prob, 1), batch_pairs
+        )
         # Host-replay traceback (local mode) holds pulled tb tensors in the
         # in-flight queue: bound the queue by bytes, not just count.
         group_in_flight = max_in_flight

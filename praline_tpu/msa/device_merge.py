@@ -22,11 +22,14 @@ dispatches instead of N-1 (round-2 change; per-join async enqueue still
 paid ~20 ms of dispatch latency per join on remote runtimes).  Gap
 injection into member rows is cheap vectorized numpy after the sync.
 
-A deliberately-NOT-used alternative was a ``lax.scan`` over the join
-schedule (one dispatch total): an inner DP scan that stacks traceback bits
-inside an outer scan executes ~1000x slower than the same DP at top level on
-the TPU runtime measured here, so the async-pipelined host loop is both
-simpler and faster.
+Caterpillar trees (near-equal similarities chain the joins — 400+
+single-join levels for a 500-sequence family was measured here) would
+still pay one round trip per join, so runs of single-join levels coalesce
+into a CHAIN step: a ``lax.scan`` over CHAIN_K dependent joins with the
+node tables as carry.  Unlike round 1's rejected scan-over-joins (which
+stacked O(L^2) traceback bits in the outer scan and ran ~1000x slower),
+the chain consumes each join's bits inside its own step via on-device
+replay and emits only the 1-byte-per-column move tape.
 
 All joins share one padded column capacity, so the whole stage reuses a
 single executable; column overflow is detected from the returned counts and
@@ -48,16 +51,19 @@ from ..oracle.profile import COUNT_LIMIT, member_profile, rescale_counts
 # Column-capacity ladder (2^n - 1 like the batch driver's buckets: diagonal
 # vectors of length C_cap + 1 fill TPU lanes exactly).
 C_BUCKETS = (127, 255, 511, 1023, 2047, 4095)
-MAX_ATTEMPTS = 2
+MAX_ATTEMPTS = 3
 # Joins per level-step dispatch (fixed: one executable per C_cap).
 LEVEL_CHUNK_J = 32
+# Sequential joins per chain-step dispatch (caterpillar segments).
+CHAIN_K = 16
 
 
-@functools.lru_cache(maxsize=64)
-def _level_step_jit(C_cap: int, A: int, gap_series: tuple[int, ...],
+def _make_join_body(C_cap: int, A: int, gap_series: tuple[int, ...],
                     inv_size: int, J: int):
-    """One tree LEVEL: gather J joins' operands from the node table, run
-    the batched DP + replay + profile composition, scatter results back."""
+    """The core J-join table update: gather operands from the node table,
+    run the batched DP + replay + profile composition, scatter results
+    back.  Shared by the per-level step (J=32 parallel joins) and the
+    chain step (a lax.scan of J=1 dependent joins)."""
     import jax
     import jax.numpy as jnp
 
@@ -67,11 +73,7 @@ def _level_step_jit(C_cap: int, A: int, gap_series: tuple[int, ...],
 
     steps = 2 * C_cap
 
-    # Donation: the node tables are rewritten every level; reusing their
-    # buffers avoids an O(nodes * C_cap * A) copy per level (a no-op copy
-    # fallback on backends without donation support).
-    @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
-    def level(counts_tab, gaps_tab, len_tab, mem_tab, li, ri, oi, s, inv_table):
+    def body(counts_tab, gaps_tab, len_tab, mem_tab, li, ri, oi, s, inv_table):
         cl = jnp.take(counts_tab, li, axis=0)  # (J, C, A)
         gl = jnp.take(gaps_tab, li, axis=0)
         Cl = jnp.take(len_tab, li)
@@ -151,7 +153,53 @@ def _level_step_jit(C_cap: int, A: int, gap_series: tuple[int, ...],
         mem_tab = mem_tab.at[oi].set(nml + nmr)
         return counts_tab, gaps_tab, len_tab, mem_tab, moves, nmv
 
-    return level
+    return body
+
+
+@functools.lru_cache(maxsize=64)
+def _level_step_jit(C_cap: int, A: int, gap_series: tuple[int, ...],
+                    inv_size: int, J: int):
+    """One tree LEVEL of J independent joins as a single dispatch."""
+    import jax
+
+    body = _make_join_body(C_cap, A, gap_series, inv_size, J)
+
+    # Donation: the node tables are rewritten every level; reusing their
+    # buffers avoids an O(nodes * C_cap * A) copy per level (a no-op copy
+    # fallback on backends without donation support).
+    return functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))(body)
+
+
+@functools.lru_cache(maxsize=64)
+def _chain_step_jit(C_cap: int, A: int, gap_series: tuple[int, ...],
+                    inv_size: int, K: int):
+    """K SEQUENTIAL joins in one dispatch (lax.scan over the join schedule,
+    node tables as carry).
+
+    Guide trees over near-equal similarities degenerate to caterpillars —
+    one join per level — so the per-level step still pays one dispatch
+    round trip per join.  Chaining K dependent joins into one executable
+    divides the walk's dispatch count by K for exactly those trees."""
+    import jax
+
+    body = _make_join_body(C_cap, A, gap_series, inv_size, 1)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+    def chain(counts_tab, gaps_tab, len_tab, mem_tab, li, ri, oi, s, inv_table):
+        def step(tabs, idx):
+            ct, gt, lt, mt = tabs
+            l1, r1, o1 = idx
+            ct, gt, lt, mt, moves, nmv = body(
+                ct, gt, lt, mt, l1[None], r1[None], o1[None], s, inv_table
+            )
+            return (ct, gt, lt, mt), (moves[0], nmv[0])
+
+        tabs, (moves, nmv) = jax.lax.scan(
+            step, (counts_tab, gaps_tab, len_tab, mem_tab), (li, ri, oi)
+        )
+        return (*tabs, moves, nmv)
+
+    return chain
 
 
 def try_device_merge(
@@ -195,7 +243,14 @@ def try_device_merge(
         return None
 
     max_len = max(p.length for p in leaf_profs)
-    start = next((b for b in C_BUCKETS if b >= min(2 * max_len, C_BUCKETS[-1])), None)
+    # Start the column-capacity ladder just above the longest leaf (+25%):
+    # related families grow few columns, and every scan step in the walk
+    # costs 2*C_cap diagonals — a too-big first rung doubles the whole
+    # stage's latency.  Overflow is detected and retries the next rung.
+    start = next(
+        (b for b in C_BUCKETS if b >= min(int(1.25 * max_len) + 1, C_BUCKETS[-1])),
+        None,
+    )
     if start is None or max_len > C_BUCKETS[-1]:
         return None
     attempts = [b for b in C_BUCKETS if b >= max(start, max_len)][:MAX_ATTEMPTS]
@@ -228,33 +283,57 @@ def try_device_merge(
         len_tab = jnp.asarray(len_np)
         mem_tab = jnp.asarray(mem_np)
 
-        # ONE executable for the whole walk: every level runs in fixed-size
-        # chunks of LEVEL_CHUNK_J joins (padded; pads hit the trash slot).
-        # Each NEW executable costs seconds of per-process upload/init on
-        # remote runtimes, so a per-level-size shape grid loses to a single
-        # shape with trivially wasted pad compute.
-        step = _level_step_jit(
-            C_cap, A, tuple(config.gap_series), inv_size, LEVEL_CHUNK_J
-        )
+        # TWO executables for the whole walk: wide levels run in fixed-size
+        # chunks of LEVEL_CHUNK_J parallel joins, and runs of single-join
+        # levels (caterpillar segments — the common shape when similarities
+        # are near-equal) coalesce into CHAIN_K sequential joins per
+        # dispatch (lax.scan, node tables as carry).  Pads hit the trash
+        # slot.  Each NEW executable costs seconds of per-process
+        # upload/init on remote runtimes, so fixed shapes with trivially
+        # wasted pad compute beat a per-size shape grid.
+        gs = tuple(config.gap_series)
+        step = _level_step_jit(C_cap, A, gs, inv_size, LEVEL_CHUNK_J)
+        chain_step = _chain_step_jit(C_cap, A, gs, inv_size, CHAIN_K)
+        tabs = [counts_tab, gaps_tab, len_tab, mem_tab]
         level_out = []
+
+        def _idx(joins, size):
+            jl = len(joins)
+            li = np.empty(size, np.int32)
+            ri = np.empty(size, np.int32)
+            oi = np.full(size, M - 1, np.int32)  # pads -> trash
+            li[:jl] = [tree.joins[k][0] for k in joins]
+            ri[:jl] = [tree.joins[k][1] for k in joins]
+            oi[:jl] = [n + k for k in joins]
+            li[jl:] = li[0]  # pads re-merge join 0's nodes (reads only)
+            ri[jl:] = ri[0]
+            return jnp.asarray(li), jnp.asarray(ri), jnp.asarray(oi)
+
+        pending: list[int] = []
+
+        def _flush_chain():
+            if not pending:
+                return
+            li, ri, oi = _idx(pending, CHAIN_K)
+            out = chain_step(*tabs, li, ri, oi, s_dev, inv_dev)
+            tabs[:] = out[:4]
+            level_out.append((list(pending), out[4], out[5]))
+            pending.clear()
+
         for level in levels:
+            if len(level) == 1:
+                pending.append(level[0])
+                if len(pending) == CHAIN_K:
+                    _flush_chain()
+                continue
+            _flush_chain()  # later levels may consume chain outputs
             for s0 in range(0, len(level), LEVEL_CHUNK_J):
                 chunk = level[s0 : s0 + LEVEL_CHUNK_J]
-                Jl = len(chunk)
-                li = np.empty(LEVEL_CHUNK_J, np.int32)
-                ri = np.empty(LEVEL_CHUNK_J, np.int32)
-                oi = np.full(LEVEL_CHUNK_J, M - 1, np.int32)  # pads -> trash
-                li[:Jl] = [tree.joins[k][0] for k in chunk]
-                ri[:Jl] = [tree.joins[k][1] for k in chunk]
-                oi[:Jl] = [n + k for k in chunk]
-                li[Jl:] = li[0]  # pads re-merge join 0's nodes (reads only)
-                ri[Jl:] = ri[0]
-                counts_tab, gaps_tab, len_tab, mem_tab, moves, nmv = step(
-                    counts_tab, gaps_tab, len_tab, mem_tab,
-                    jnp.asarray(li), jnp.asarray(ri), jnp.asarray(oi),
-                    s_dev, inv_dev,
-                )
-                level_out.append((chunk, moves, nmv))
+                li, ri, oi = _idx(chunk, LEVEL_CHUNK_J)
+                out = step(*tabs, li, ri, oi, s_dev, inv_dev)
+                tabs[:] = out[:4]
+                level_out.append((chunk, out[4], out[5]))
+        _flush_chain()
 
         # ONE synchronization for the whole walk.
         got = jax.device_get([(mv, nv) for _, mv, nv in level_out])

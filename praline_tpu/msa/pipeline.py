@@ -108,8 +108,9 @@ def batched_preprofiles(
 
 
 # Pairs per resumable distance tile (SURVEY.md §6: the O(N^2) stage
-# checkpoints tile-by-tile as it completes).
-DISTANCE_TILE_PAIRS = 4096
+# checkpoints tile-by-tile as it completes).  Sized to one wide dispatch:
+# round-trip latency dominates the distance stage on remote runtimes.
+DISTANCE_TILE_PAIRS = 8192
 
 
 def batched_all_pairs(
@@ -149,12 +150,15 @@ def batched_all_pairs(
             if fault_hook is not None:
                 fault_hook(tile_id)
             # Scores-only dispatches carry no traceback memory, so the
-            # distance stage batches 4x wider than the configured default:
+            # distance stage batches up to a whole tile per dispatch:
             # fewer round trips on the O(N^2) hot stage (each dispatch
-            # costs tens of ms of dispatch latency on remote runtimes).
+            # costs tens of ms of dispatch latency on remote runtimes;
+            # the per-dispatch HBM byte budget in kernels.batch still
+            # caps long-bucket groups).
             kwargs = _batch_kwargs(config, mesh)
-            kwargs["batch_pairs"] = min(
-                4 * config.batch_pairs, DISTANCE_TILE_PAIRS
+            kwargs["batch_pairs"] = max(
+                config.batch_pairs,
+                min(16 * config.batch_pairs, DISTANCE_TILE_PAIRS),
             )
             results = align_pairs_batched(
                 [(profiles[i], profiles[j]) for i, j in tile],

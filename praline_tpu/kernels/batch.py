@@ -21,7 +21,12 @@ import numpy as np
 
 from ..types import Profile, ScoreMatrix
 from ..oracle.align import AlignResult, _degenerate
-from ..oracle.score import check_exactness, column_inverses, pair_score_matrix
+from ..oracle.score import (
+    EXACT_DOT_LIMIT,
+    check_exactness,
+    column_inverses,
+    pair_score_matrix,
+)
 from ..util.metrics import annotate
 from .replay import moves_to_result, replay_moves
 from .traceback import replay_traceback
@@ -340,11 +345,19 @@ def align_pairs_batched(
 
     results: list = [None] * len(pairs)
 
+    s_dev = jnp.asarray(matrix.as_f32())
+    A = matrix.alphabet.size
+    max_s = float(np.abs(matrix.scores).max())
+
     # Unique-profile registry: pairs share profiles heavily (the all-pairs
     # stage references each of N profiles N-1 times), so each distinct
     # profile object is uploaded once and pairs dispatch as index arrays.
+    # The per-profile column-total maximum (the exactness-check operand) is
+    # cached at registration — recomputing it per PAIR was O(N^2 L A) host
+    # work on the distance stage.
     uniq_pos: dict[int, int] = {}
     uniq: list[Profile] = []
+    uniq_tot: list[float] = []
 
     def _reg(p: Profile) -> int:
         k = uniq_pos.get(id(p))
@@ -352,6 +365,7 @@ def align_pairs_batched(
             k = len(uniq)
             uniq_pos[id(p)] = k
             uniq.append(p)
+            uniq_tot.append(float(p.counts.sum(axis=1).max(initial=0.0)))
         return k
 
     # Group problem indices by (bucket_x, bucket_y).
@@ -365,14 +379,13 @@ def align_pairs_batched(
                 r = _degenerate(px.length, py.length, gap_series, mode)
                 results[idx] = PairResult(r.score, float(r.length), px.length, py.length)
             continue
-        check_exactness(px, py, matrix)
-        pair_reg[idx] = (_reg(px), _reg(py))
+        kx, ky = _reg(px), _reg(py)
+        # Same predicate as oracle.score.check_exactness, on cached totals.
+        if uniq_tot[kx] * uniq_tot[ky] * max_s >= EXACT_DOT_LIMIT:
+            check_exactness(px, py, matrix)  # raises with the full message
+        pair_reg[idx] = (kx, ky)
         key = (_bucket(px.length, bucket_sizes), _bucket(py.length, bucket_sizes))
         groups.setdefault(key, []).append(idx)
-
-    s_dev = jnp.asarray(matrix.as_f32())
-    A = matrix.alphabet.size
-    max_s = float(np.abs(matrix.scores).max())
 
     by_bucket: dict[int, list[int]] = {}
     for u, p in enumerate(uniq):

@@ -318,98 +318,55 @@ def _pad_counts(profiles: list[Profile], L: int) -> tuple[np.ndarray, np.ndarray
     return counts, inv
 
 
-def align_pairs_batched(
-    pairs: Seq[tuple[Profile, Profile]],
-    matrix: ScoreMatrix,
-    gap_series: tuple[int, ...],
-    mode: str,
-    *,
-    traceback: bool = False,
-    bucket_sizes: tuple[int, ...] = (63, 127, 255, 511, 1023, 2047),
-    batch_pairs: int = 32,
-    backend: str = "auto",
-    mesh=None,
-) -> list[AlignResult] | list[PairResult]:
-    """Align every (px, py) pair; results in input order.
+class ProfileArena:
+    """Cross-call profile registry + device-resident stacks.
 
-    ``traceback=False`` returns :class:`PairResult` (score + path length —
-    all the distance stage needs); ``traceback=True`` returns full
-    :class:`AlignResult` paths bit-identical to the oracle.
+    The distance stage calls :func:`align_pairs_batched` once per resumable
+    tile over the SAME N profiles; sharing one arena keeps each profile's
+    stack row, cached exactness total and token extraction alive across
+    tiles instead of rebuilding and re-uploading them per call.  A new
+    registration invalidates (only) its bucket's stack.
     """
-    import jax
-    import jax.numpy as jnp
 
-    if backend == "auto":
-        # Pallas on TPU (5x+ the XLA scan); the scan path elsewhere.
-        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    def __init__(self, alphabet_size: int, bucket_sizes: tuple[int, ...]):
+        self.A = alphabet_size
+        self.bucket_sizes = tuple(bucket_sizes)
+        self.pos: dict[int, int] = {}
+        self.profs: list[Profile] = []
+        self.tot: list[float] = []
+        self.by_bucket: dict[int, list[int]] = {}
+        self._stacks: dict[int, dict] = {}
 
-    results: list = [None] * len(pairs)
-
-    s_dev = jnp.asarray(matrix.as_f32())
-    A = matrix.alphabet.size
-    max_s = float(np.abs(matrix.scores).max())
-
-    # Unique-profile registry: pairs share profiles heavily (the all-pairs
-    # stage references each of N profiles N-1 times), so each distinct
-    # profile object is uploaded once and pairs dispatch as index arrays.
-    # The per-profile column-total maximum (the exactness-check operand) is
-    # cached at registration — recomputing it per PAIR was O(N^2 L A) host
-    # work on the distance stage.
-    uniq_pos: dict[int, int] = {}
-    uniq: list[Profile] = []
-    uniq_tot: list[float] = []
-
-    def _reg(p: Profile) -> int:
-        k = uniq_pos.get(id(p))
+    def reg(self, p: Profile) -> int:
+        k = self.pos.get(id(p))
         if k is None:
-            k = len(uniq)
-            uniq_pos[id(p)] = k
-            uniq.append(p)
-            uniq_tot.append(float(p.counts.sum(axis=1).max(initial=0.0)))
+            k = len(self.profs)
+            self.pos[id(p)] = k
+            self.profs.append(p)
+            self.tot.append(float(p.counts.sum(axis=1).max(initial=0.0)))
+            b = _bucket(p.length, self.bucket_sizes)
+            self.by_bucket.setdefault(b, []).append(k)
+            self._stacks.pop(b, None)  # new member -> rebuild that stack
         return k
 
-    # Group problem indices by (bucket_x, bucket_y).
-    groups: dict[tuple[int, int], list[int]] = {}
-    pair_reg: list[tuple[int, int] | None] = [None] * len(pairs)
-    for idx, (px, py) in enumerate(pairs):
-        if px.length == 0 or py.length == 0:
-            if traceback:
-                results[idx] = _degenerate(px.length, py.length, gap_series, mode)
-            else:
-                r = _degenerate(px.length, py.length, gap_series, mode)
-                results[idx] = PairResult(r.score, float(r.length), px.length, py.length)
-            continue
-        kx, ky = _reg(px), _reg(py)
-        # Same predicate as oracle.score.check_exactness, on cached totals.
-        if uniq_tot[kx] * uniq_tot[ky] * max_s >= EXACT_DOT_LIMIT:
-            check_exactness(px, py, matrix)  # raises with the full message
-        pair_reg[idx] = (kx, ky)
-        key = (_bucket(px.length, bucket_sizes), _bucket(py.length, bucket_sizes))
-        groups.setdefault(key, []).append(idx)
-
-    by_bucket: dict[int, list[int]] = {}
-    for u, p in enumerate(uniq):
-        by_bucket.setdefault(_bucket(p.length, bucket_sizes), []).append(u)
-
-    stack_cache: dict[int, dict] = {}
-
-    def _stack(b: int) -> dict:
+    def stack(self, b: int) -> dict:
         """Device-resident stack of every registered profile in bucket b.
 
         One-hot profiles ship as token rows (pad token = A, which one-hot
         expands to a zero column); integer-count profiles ship in the
-        narrowest integer dtype that holds them.
+        narrowest integer dtype that holds them.  Row counts pad to a pow2
+        grid (floor 32) so successive calls with different profile subsets
+        hit the SAME executable shape — a new stack shape costs seconds of
+        executable upload/init on remote runtimes.
         """
-        st = stack_cache.get(b)
+        import jax.numpy as jnp
+
+        st = self._stacks.get(b)
         if st is not None:
             return st
-        ids = by_bucket[b]
-        profs = [uniq[u] for u in ids]
-        # Pad the row count to a pow2 grid (floor 32): successive calls
-        # with different profile subsets (e.g. the distance stage's
-        # resumable tiles) then hit the SAME executable shape — a new
-        # stack shape costs seconds of executable upload/init on remote
-        # runtimes, which dominated tiled all-pairs wall clock (r2).
+        A = self.A
+        ids = self.by_bucket[b]
+        profs = [self.profs[u] for u in ids]
         rows = 32
         while rows < len(profs):
             rows *= 2
@@ -441,8 +398,70 @@ def align_pairs_batched(
             host_lens=lens,
             pos={u: r for r, u in enumerate(ids)},
         )
-        stack_cache[b] = st
+        self._stacks[b] = st
         return st
+
+
+def align_pairs_batched(
+    pairs: Seq[tuple[Profile, Profile]],
+    matrix: ScoreMatrix,
+    gap_series: tuple[int, ...],
+    mode: str,
+    *,
+    traceback: bool = False,
+    bucket_sizes: tuple[int, ...] = (63, 127, 255, 511, 1023, 2047),
+    batch_pairs: int = 32,
+    backend: str = "auto",
+    mesh=None,
+    arena: ProfileArena | None = None,
+) -> list[AlignResult] | list[PairResult]:
+    """Align every (px, py) pair; results in input order.
+
+    ``traceback=False`` returns :class:`PairResult` (score + path length —
+    all the distance stage needs); ``traceback=True`` returns full
+    :class:`AlignResult` paths bit-identical to the oracle.  ``arena``
+    shares the profile registry and device stacks across calls (the
+    distance stage's tiles reuse one).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if backend == "auto":
+        # Pallas on TPU (5x+ the XLA scan); the scan path elsewhere.
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+
+    results: list = [None] * len(pairs)
+
+    s_dev = jnp.asarray(matrix.as_f32())
+    A = matrix.alphabet.size
+    max_s = float(np.abs(matrix.scores).max())
+
+    if arena is None:
+        arena = ProfileArena(A, bucket_sizes)
+    elif arena.bucket_sizes != tuple(bucket_sizes) or arena.A != A:
+        raise ValueError("arena bucket_sizes/alphabet do not match this call")
+    _reg = arena.reg
+    uniq_tot = arena.tot
+    _stack = arena.stack
+
+    # Group problem indices by (bucket_x, bucket_y).
+    groups: dict[tuple[int, int], list[int]] = {}
+    pair_reg: list[tuple[int, int] | None] = [None] * len(pairs)
+    for idx, (px, py) in enumerate(pairs):
+        if px.length == 0 or py.length == 0:
+            if traceback:
+                results[idx] = _degenerate(px.length, py.length, gap_series, mode)
+            else:
+                r = _degenerate(px.length, py.length, gap_series, mode)
+                results[idx] = PairResult(r.score, float(r.length), px.length, py.length)
+            continue
+        kx, ky = _reg(px), _reg(py)
+        # Same predicate as oracle.score.check_exactness, on cached totals.
+        if uniq_tot[kx] * uniq_tot[ky] * max_s >= EXACT_DOT_LIMIT:
+            check_exactness(px, py, matrix)  # raises with the full message
+        pair_reg[idx] = (kx, ky)
+        key = (_bucket(px.length, bucket_sizes), _bucket(py.length, bucket_sizes))
+        groups.setdefault(key, []).append(idx)
 
     # Device replay (kernels.replay) covers global/semiglobal traceback; the
     # local stop-at-zero walk stays on the host (needs the carried value).

@@ -129,9 +129,13 @@ def batched_all_pairs(
     is the §6 fault-injection seam: tests raise from it to simulate crashes.
     """
     from ..kernels import align_pairs_batched
+    from ..kernels.batch import ProfileArena
 
     n = len(sequences)
     profiles = [member_profile(s) for s in sequences]
+    # One registry + device-stack set for the whole stage: every tile
+    # references the same N profiles.
+    arena = ProfileArena(matrix.alphabet.size, tuple(config.bucket_sizes))
     index = [(i, j) for i in range(n) for j in range(i + 1, n)]
     scores = np.zeros((n, n), dtype=np.float64)
     lengths = np.zeros((n, n), dtype=np.int64)
@@ -160,6 +164,7 @@ def batched_all_pairs(
                 config.batch_pairs,
                 min(16 * config.batch_pairs, DISTANCE_TILE_PAIRS),
             )
+            kwargs["arena"] = arena
             results = align_pairs_batched(
                 [(profiles[i], profiles[j]) for i, j in tile],
                 matrix,

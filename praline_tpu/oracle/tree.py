@@ -85,22 +85,31 @@ def build_guide_tree(similarity: np.ndarray, linkage: str = "average") -> Sequen
     best_val = np.full(n, -np.inf)
     best_key = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
     best_slot = np.full(n, -1, dtype=np.int64)
+    MAXK = np.iinfo(np.int64).max
 
-    def recompute_best(s: int) -> None:
-        mask = active.copy()
-        mask[s] = False
-        vals = link_row(s)
-        vmax = vals[mask].max()
-        cand = mask & (vals == vmax)
-        keys = pair_keys(s)
-        slots = np.nonzero(cand)[0]
-        pick = slots[keys[slots].argmin()]
-        best_val[s] = vmax
-        best_key[s] = keys[pick]
-        best_slot[s] = pick
+    def recompute_best_many(S: np.ndarray) -> None:
+        """Rescan the best partner of every slot in S at once (vectorized:
+        tie-heavy matrices stale many caches per join)."""
+        if len(S) == 0:
+            return
+        if linkage == "average":
+            vals = M[S] / (cnt[S, None] * cnt[None, :]).astype(np.float64)
+        else:
+            vals = M[S].copy()
+        mask = np.broadcast_to(active, (len(S), n)).copy()
+        mask[np.arange(len(S)), S] = False
+        vals[~mask] = -np.inf
+        vmax = vals.max(axis=1)
+        mn = np.minimum(ids[S, None], ids[None, :])
+        mx = np.maximum(ids[S, None], ids[None, :])
+        keys = mn * BIG + mx
+        cand_keys = np.where(vals == vmax[:, None], keys, MAXK)
+        pick = cand_keys.argmin(axis=1)
+        best_val[S] = vmax
+        best_key[S] = cand_keys[np.arange(len(S)), pick]
+        best_slot[S] = pick
 
-    for s in range(n):
-        recompute_best(s)
+    recompute_best_many(np.arange(n))
 
     joins: list[tuple[int, int]] = []
     for step in range(n - 1):
@@ -128,11 +137,10 @@ def build_guide_tree(similarity: np.ndarray, linkage: str = "average") -> Sequen
         ids[s] = n + step
         active[t] = False
         M[s, s] = 0.0
-        recompute_best(s)
 
         # Refresh stale caches: clusters whose best partner was a merged
-        # slot rescan their row; everyone else just races the new cluster
-        # against their cached best (vectorized candidate from s's row).
+        # slot rescan their rows (one vectorized pass), everyone else just
+        # races the new cluster against their cached best.
         vals_z = link_row(s)
         keys_z = pair_keys(s)
         others = active.copy()
@@ -146,8 +154,7 @@ def build_guide_tree(similarity: np.ndarray, linkage: str = "average") -> Sequen
         best_val[upd] = vals_z[upd]
         best_key[upd] = keys_z[upd]
         best_slot[upd] = s
-        for c in np.nonzero(stale)[0]:
-            recompute_best(int(c))
+        recompute_best_many(np.concatenate(([s], np.nonzero(stale)[0])))
     return SequenceTree(n, tuple(joins))
 
 

@@ -86,8 +86,16 @@ def batched_preprofiles(
 
     pairs = [(_hot(sequences[i]), _hot(slave)) for i, slave in jobs]
     log.info("preprofiles: %d master-slave alignments (%s mode)", len(pairs), mode)
+    kwargs = _batch_kwargs(config, mesh)
+    if mode == "global":
+        # Device replay keeps traceback off the host, so the star stage
+        # batches as wide as the distance stage (the per-dispatch HBM
+        # byte budget in kernels.batch still caps long buckets).
+        kwargs["batch_pairs"] = max(
+            config.batch_pairs, min(16 * config.batch_pairs, DISTANCE_TILE_PAIRS)
+        )
     results: list[AlignResult] = align_pairs_batched(
-        pairs, matrix, gap_series, mode, traceback=True, **_batch_kwargs(config, mesh)
+        pairs, matrix, gap_series, mode, traceback=True, **kwargs
     )
     from ..util.metrics import METRICS
 

@@ -189,7 +189,7 @@ def _snap_batch(cap: int, batch_pairs: int) -> int:
     """Largest pow4-grid batch (32, 128, 512, ...) <= min(cap, batch_pairs);
     below the grid floor, the exact cap."""
     if cap < 32:
-        return max(1, cap)
+        return max(1, min(cap, batch_pairs))
     b = 32
     while b * 4 <= min(cap, batch_pairs):
         b *= 4

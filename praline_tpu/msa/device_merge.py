@@ -182,20 +182,36 @@ def _chain_step_jit(C_cap: int, A: int, gap_series: tuple[int, ...],
     divides the walk's dispatch count by K for exactly those trees."""
     import jax
 
+    import jax.numpy as jnp
+
     body = _make_join_body(C_cap, A, gap_series, inv_size, 1)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
-    def chain(counts_tab, gaps_tab, len_tab, mem_tab, li, ri, oi, s, inv_table):
+    def chain(counts_tab, gaps_tab, len_tab, mem_tab, li, ri, oi, nvalid,
+              s, inv_table):
         def step(tabs, idx):
-            ct, gt, lt, mt = tabs
-            l1, r1, o1 = idx
-            ct, gt, lt, mt, moves, nmv = body(
-                ct, gt, lt, mt, l1[None], r1[None], o1[None], s, inv_table
-            )
-            return (ct, gt, lt, mt), (moves[0], nmv[0])
+            l1, r1, o1, i1 = idx
+
+            def real(ts):
+                ct, gt, lt, mt = ts
+                ct, gt, lt, mt, moves, nmv = body(
+                    ct, gt, lt, mt, l1[None], r1[None], o1[None], s, inv_table
+                )
+                return (ct, gt, lt, mt), moves[0], nmv[0]
+
+            def skip(ts):
+                # Pad steps beyond the valid chain do NO DP work (a full
+                # sequential wavefront per pad would otherwise dominate
+                # short flushes).
+                return ts, jnp.zeros((2 * C_cap,), jnp.uint8), jnp.int32(0)
+
+            tabs2, moves, nmv = jax.lax.cond(i1 < nvalid, real, skip, tabs)
+            return tabs2, (moves, nmv)
 
         tabs, (moves, nmv) = jax.lax.scan(
-            step, (counts_tab, gaps_tab, len_tab, mem_tab), (li, ri, oi)
+            step,
+            (counts_tab, gaps_tab, len_tab, mem_tab),
+            (li, ri, oi, jnp.arange(K, dtype=jnp.int32)),
         )
         return (*tabs, moves, nmv)
 
@@ -314,8 +330,17 @@ def try_device_merge(
         def _flush_chain():
             if not pending:
                 return
-            li, ri, oi = _idx(pending, CHAIN_K)
-            out = chain_step(*tabs, li, ri, oi, s_dev, inv_dev)
+            if len(pending) == 1:
+                # A lone join runs in the parallel level step, whose pads
+                # are data-parallel (near-zero marginal cost).
+                li, ri, oi = _idx(pending, LEVEL_CHUNK_J)
+                out = step(*tabs, li, ri, oi, s_dev, inv_dev)
+            else:
+                li, ri, oi = _idx(pending, CHAIN_K)
+                out = chain_step(
+                    *tabs, li, ri, oi, jnp.asarray(np.int32(len(pending))),
+                    s_dev, inv_dev,
+                )
             tabs[:] = out[:4]
             level_out.append((list(pending), out[4], out[5]))
             pending.clear()

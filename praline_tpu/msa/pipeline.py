@@ -39,6 +39,16 @@ from ..oracle.tree import build_guide_tree, similarity_from_scores
 from ..util.metrics import log
 
 
+def _wide_batch_pairs(config: PralineConfig) -> int:
+    """Dispatch width for stages with no host-side traceback cost (the
+    distance stage and device-replayed preprofile stars): as wide as one
+    resumable tile; the per-dispatch HBM byte budget in kernels.batch
+    still caps long-bucket groups."""
+    return max(
+        config.batch_pairs, min(16 * config.batch_pairs, DISTANCE_TILE_PAIRS)
+    )
+
+
 def _batch_kwargs(config: PralineConfig, mesh=None) -> dict:
     return dict(
         bucket_sizes=tuple(config.bucket_sizes),
@@ -88,12 +98,8 @@ def batched_preprofiles(
     log.info("preprofiles: %d master-slave alignments (%s mode)", len(pairs), mode)
     kwargs = _batch_kwargs(config, mesh)
     if mode == "global":
-        # Device replay keeps traceback off the host, so the star stage
-        # batches as wide as the distance stage (the per-dispatch HBM
-        # byte budget in kernels.batch still caps long buckets).
-        kwargs["batch_pairs"] = max(
-            config.batch_pairs, min(16 * config.batch_pairs, DISTANCE_TILE_PAIRS)
-        )
+        # Device replay keeps traceback off the host for global stars.
+        kwargs["batch_pairs"] = _wide_batch_pairs(config)
     results: list[AlignResult] = align_pairs_batched(
         pairs, matrix, gap_series, mode, traceback=True, **kwargs
     )
@@ -161,17 +167,11 @@ def batched_all_pairs(
         else:
             if fault_hook is not None:
                 fault_hook(tile_id)
-            # Scores-only dispatches carry no traceback memory, so the
-            # distance stage batches up to a whole tile per dispatch:
-            # fewer round trips on the O(N^2) hot stage (each dispatch
-            # costs tens of ms of dispatch latency on remote runtimes;
-            # the per-dispatch HBM byte budget in kernels.batch still
-            # caps long-bucket groups).
+            # Scores-only dispatches carry no traceback memory: batch up
+            # to a whole tile per dispatch (round trips dominate the
+            # O(N^2) hot stage on remote runtimes).
             kwargs = _batch_kwargs(config, mesh)
-            kwargs["batch_pairs"] = max(
-                config.batch_pairs,
-                min(16 * config.batch_pairs, DISTANCE_TILE_PAIRS),
-            )
+            kwargs["batch_pairs"] = _wide_batch_pairs(config)
             kwargs["arena"] = arena
             results = align_pairs_batched(
                 [(profiles[i], profiles[j]) for i, j in tile],

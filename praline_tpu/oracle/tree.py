@@ -103,7 +103,9 @@ def build_guide_tree(similarity: np.ndarray, linkage: str = "average") -> Sequen
         mn = np.minimum(ids[S, None], ids[None, :])
         mx = np.maximum(ids[S, None], ids[None, :])
         keys = mn * BIG + mx
-        cand_keys = np.where(vals == vmax[:, None], keys, MAXK)
+        # & mask: when a row's max is -inf (degenerate all--inf input),
+        # equality alone would admit self/inactive slots as candidates.
+        cand_keys = np.where((vals == vmax[:, None]) & mask, keys, MAXK)
         pick = cand_keys.argmin(axis=1)
         best_val[S] = vmax
         best_key[S] = cand_keys[np.arange(len(S)), pick]

@@ -137,3 +137,30 @@ def test_lx50k_parity_vs_native():
     (r,) = align_pairs_batched([(px, py)], B62, (11, 1), "global", backend="pallas")
     want = native_align_scores(pair_score_matrix(px, py, B62), (11, 1), "global")
     assert r.score == want.score and r.length == want.length
+
+
+def test_profile_arena_invalidation_across_calls():
+    """A shared arena must rebuild a bucket's stack when later calls
+    register new profiles into it (round-2: cross-tile arena)."""
+    from praline_tpu.kernels.batch import ProfileArena
+
+    rng = np.random.default_rng(21)
+    arena = ProfileArena(ALPHABET_AA.size, (31,))
+    profs = [
+        Profile.from_tokens(rng.integers(0, 20, size=int(rng.integers(5, 30))).astype(np.int32), ALPHABET_AA)
+        for _ in range(7)
+    ]
+    first = [(profs[0], profs[1]), (profs[1], profs[2])]
+    got1 = align_pairs_batched(first, B62, (11, 1), "global",
+                               bucket_sizes=(31,), arena=arena, backend="xla")
+    # second call introduces NEW profiles into the same bucket
+    second = [(profs[3], profs[4]), (profs[0], profs[5]), (profs[6], profs[2])]
+    got2 = align_pairs_batched(second, B62, (11, 1), "global",
+                               bucket_sizes=(31,), arena=arena, backend="xla")
+    for pairs, got in ((first, got1), (second, got2)):
+        for (px, py), r in zip(pairs, got):
+            want = align_profiles(px, py, B62, (11, 1), "global")
+            assert r.score == want.score and r.length == want.length
+    with pytest.raises(ValueError):
+        align_pairs_batched(first, B62, (11, 1), "global",
+                            bucket_sizes=(63,), arena=arena)

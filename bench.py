@@ -156,8 +156,10 @@ def bench_allpairs100() -> dict:
     m = builtin_score_matrix("blosum62")
     cfg = PralineConfig()
     pp = batched_preprofiles(seqs, m, cfg)
-    # warmup covers the full batch shape (33*32/2 = 528 pairs > batch_pairs)
-    batched_all_pairs(pp[:33], m, cfg)
+    # Warm with a same-shape different-data family: the 4950-pair stage
+    # snaps to a different batch cap than a smaller warmup would, so a
+    # partial warmup leaves a compile inside the timed region.
+    batched_all_pairs(batched_preprofiles(_random_family(100, 200, seed=1), m, cfg), m, cfg)
     (scores_lengths), dt = _timed(lambda: batched_all_pairs(pp, m, cfg))
     cells = sum(
         float(seqs[i].length) * seqs[j].length

@@ -149,14 +149,24 @@ def wavefront_dp_streamed(
 
 
 def _wavefront(hs, hrow_fn, D, B, Lp, lx, ly, gap_series, mode, traceback,
-               ring_axis=None, ring_n=1, lane_base=None):
+               ring_axis=None, ring_n=1, lane_base=None, ring_interval=1):
     """Shared DP body.  ``ring_axis`` activates the multi-device ring form
     (SURVEY.md §3.2 ring row): the lane (x) axis is sharded over a mesh
     axis, each diagonal step passes its boundary lane to the right
     neighbour with ``ppermute``, and terminal reductions finish with
     pmax/pmin collectives.  ``Lp`` is then the LOCAL lane count and
     ``lane_base`` the device's first global lane; results are bit-equal to
-    the single-device scan (parity-tested in tests/dist)."""
+    the single-device scan (parity-tested in tests/dist).
+
+    ``ring_interval`` = K > 1 activates the SUPERSTEPPED ring: devices run
+    K diagonal steps per collective, pipelined K diagonals apart (device p
+    processes diagonal chunk c during superstep s = c + p), and each
+    superstep exchanges all K boundary-lane stacks in ONE ``ppermute`` —
+    per-diagonal ring latency, the cost that makes the per-step ring slower
+    than batched dispatch, is amortized K-fold.  Terminal candidates are
+    then tracked per device (each device only scores cells it owns) and
+    merged once at the end with a lexicographic pmax reduce that reproduces
+    the sequential tie-break order exactly.  Requires ``hrow_fn``."""
     k = len(gap_series)
     if k > 15:
         raise ValueError("gap series deeper than 15 levels not supported")
@@ -165,10 +175,17 @@ def _wavefront(hs, hrow_fn, D, B, Lp, lx, ly, gap_series, mode, traceback,
     semi = mode == "semiglobal"
     if mode not in ("global", "semiglobal", "local"):
         raise ValueError(f"unknown mode {mode!r}")
+    superstep = ring_axis is not None and ring_interval > 1
+    if superstep and hrow_fn is None:
+        raise ValueError("superstepped ring requires a streamed score producer")
+    # Deferred terminal reduction: per-device candidates, one final merge.
+    defer = superstep
 
-    # +64: streamed chunking pads the diagonal range up to a chunk multiple;
-    # padded-d border costs index past D (harmless but kept in bounds).
-    cum = jnp.asarray(_gap_prefix(gap_series, D + 64), dtype=jnp.float32)
+    # Padding: streamed/superstep chunking pads the diagonal range up to a
+    # chunk multiple; padded-d border costs index past D (harmless but kept
+    # in bounds by the clip below).
+    dpad = max(64, ring_interval)
+    cum = jnp.asarray(_gap_prefix(gap_series, D + dpad), dtype=jnp.float32)
     lane = jnp.arange(Lp, dtype=jnp.int32)[None, :]  # (1, Lp)
     if ring_axis is not None:
         lane = lane + lane_base  # GLOBAL lane ids on this device's shard
@@ -227,7 +244,7 @@ def _wavefront(hs, hrow_fn, D, B, Lp, lx, ly, gap_series, mode, traceback,
     def shift_z(v):  # zero fill (lengths / codes)
         return jnp.concatenate([jnp.zeros_like(v[:, :1]), v[:, :-1]], axis=1)
 
-    def shift_all(vals_v, vals_z, vals_zi):
+    def shift_all(vals_v, vals_z, vals_zi, head=None):
         """Shift every carry vector one lane right in ONE exchange.
 
         ``vals_v`` fill with NEG, ``vals_z``/``vals_zi`` (float/int) with
@@ -236,7 +253,10 @@ def _wavefront(hs, hrow_fn, D, B, Lp, lx, ly, gap_series, mode, traceback,
         bitcast to f32) instead of one collective per vector — per-step
         ring latency is what bounds a multi-device single alignment.
         Non-receivers of the incomplete perm get zeros; the first device
-        (global lane 0) overwrites with the border fill.
+        (global lane 0) overwrites with the border fill.  In superstepped
+        mode the incoming boundary stack arrives as ``head`` (prefetched a
+        whole chunk at a time by the outer loop) and no per-step
+        collective runs at all.
         """
         if ring_axis is None:
             return (
@@ -244,10 +264,14 @@ def _wavefront(hs, hrow_fn, D, B, Lp, lx, ly, gap_series, mode, traceback,
                 [shift_z(v) for v in vals_z],
                 [shift_z(v) for v in vals_zi],
             )
-        tails = [v[:, -1] for v in vals_v] + [v[:, -1] for v in vals_z] + [
-            jax.lax.bitcast_convert_type(v[:, -1], jnp.float32) for v in vals_zi
-        ]
-        recv = jax.lax.ppermute(jnp.stack(tails), ring_axis, _ring_perm)
+        if head is None:
+            tails = [v[:, -1] for v in vals_v] + [v[:, -1] for v in vals_z] + [
+                jax.lax.bitcast_convert_type(v[:, -1], jnp.float32)
+                for v in vals_zi
+            ]
+            recv = jax.lax.ppermute(jnp.stack(tails), ring_axis, _ring_perm)
+        else:
+            recv = head
         first = lane_base == 0
         out_v, out_z, out_zi = [], [], []
         i = 0
@@ -273,7 +297,7 @@ def _wavefront(hs, hrow_fn, D, B, Lp, lx, ly, gap_series, mode, traceback,
         ring finishes the reduce."""
         mask = lane == idx[:, None]
         got = jnp.max(jnp.where(mask, v, fill), axis=1)
-        if ring_axis is not None:
+        if ring_axis is not None and not defer:
             got = jax.lax.pmax(got, ring_axis)
         return got
 
@@ -287,13 +311,14 @@ def _wavefront(hs, hrow_fn, D, B, Lp, lx, ly, gap_series, mode, traceback,
         v = jnp.max(jnp.where(mask, bv, NEG), axis=1)
         l = jnp.max(jnp.where(mask, bl, NEG), axis=1)
         c = jnp.max(jnp.where(mask, bc.astype(jnp.float32), -1.0), axis=1)
-        if ring_axis is not None:
+        if ring_axis is not None and not defer:
             st = jax.lax.pmax(jnp.stack([v, l, c]), ring_axis)
             v, l, c = st[0], st[1], st[2]
         return v, l, c.astype(jnp.int32)
 
     def step(carry, inp):
-        d, hrow = inp
+        d, hrow = inp[0], inp[1]
+        head = inp[2] if len(inp) > 2 else None
         (
             m1, ix1, iy1, lm1, lix1, liy1,
             r1v, r1l, r1c, r2v, r2l, r2c,
@@ -301,7 +326,7 @@ def _wavefront(hs, hrow_fn, D, B, Lp, lx, ly, gap_series, mode, traceback,
         ) = carry
 
         sv, sz, szi = shift_all(
-            [m1, r2v] + list(ix1), [lm1, r2l] + list(lix1), [r2c]
+            [m1, r2v] + list(ix1), [lm1, r2l] + list(lix1), [r2c], head
         )
         m1s, b2vs = sv[0], sv[1]
         ix1_sh = sv[2:]
@@ -419,13 +444,17 @@ def _wavefront(hs, hrow_fn, D, B, Lp, lx, ly, gap_series, mode, traceback,
             step_best = jnp.max(mv, axis=1)
             # first max = min global lane (the pinned smallest-i tie-break)
             loc_arg = jnp.argmax(mv, axis=1).astype(jnp.int32)
-            if ring_axis is not None:
+            if ring_axis is not None and not defer:
                 loc_arg = loc_arg + lane_base
                 gbest = jax.lax.pmax(step_best, ring_axis)
                 big = jnp.int32(2**30)
                 cand = jnp.where(step_best == gbest, loc_arg, big)
                 step_arg = jax.lax.pmin(cand, ring_axis)
                 step_best = gbest
+            elif ring_axis is not None:
+                # Deferred: keep the device-local best; the end-of-scan
+                # lexicographic merge applies the same smallest-(i, j) rule.
+                step_arg = loc_arg + lane_base
             else:
                 step_arg = loc_arg
             step_len = take_lane(nlm, step_arg)
@@ -463,7 +492,63 @@ def _wavefront(hs, hrow_fn, D, B, Lp, lx, ly, gap_series, mode, traceback,
         r1v, r1l, r1c, r2v, r2l, r2c,
         tval, tlen, ti, tj, tcode,
     )
-    if hrow_fn is None:
+    if superstep:
+        # Pipelined blocked wavefront: device p runs diagonal chunk c
+        # during superstep s = c + p.  Within a superstep the inner scan
+        # consumes the K boundary stacks received LAST superstep (device
+        # p-1 ran the same chunk then) and records its own entry-carry
+        # tails, which cross in one ppermute at the end of the superstep.
+        # Invalid (pipeline fill/drain) supersteps compute garbage whose
+        # whole carry is discarded by a select, so state and terminals
+        # stay exact.  The chunk materialization also preserves the
+        # nested-scan rounding pin of the streamed producer.
+        K = ring_interval
+        nchunks = -(-(D - 2) // K)
+        nsuper = nchunks + ring_n - 1
+        p_rank = jax.lax.axis_index(ring_axis).astype(jnp.int32)
+        nvec = 2 * (2 + k) + 1
+        heads0 = jnp.zeros((K, nvec, B), jnp.float32)
+
+        def _tails_of(c):
+            m1_, ix1_, lm1_, lix1_ = c[0], c[1], c[3], c[4]
+            r2v_, r2l_, r2c_ = c[9], c[10], c[11]
+            return jnp.stack(
+                [m1_[:, -1], r2v_[:, -1]] + [v[:, -1] for v in ix1_]
+                + [lm1_[:, -1], r2l_[:, -1]] + [v[:, -1] for v in lix1_]
+                + [jax.lax.bitcast_convert_type(r2c_[:, -1], jnp.float32)]
+            )
+
+        def superstep_fn(sc, s):
+            c0, heads = sc
+            cidx = s - p_rank
+            ds = 2 + cidx * K + jnp.arange(K, dtype=jnp.int32)
+            # Clip into the cum/border-cost pad range; clipped steps only
+            # ever run inside discarded (invalid) or past-terminal work.
+            ds = jnp.clip(ds, 2, D + dpad - 2)
+            hs_chunk = jax.vmap(hrow_fn)(ds)
+
+            def inner(ic, inp):
+                tails = _tails_of(ic)
+                new_ic, bits = step(ic, inp)
+                return new_ic, (tails, bits)
+
+            new_c, (tails, bits) = jax.lax.scan(
+                inner, c0, (ds, hs_chunk, heads)
+            )
+            valid = (cidx >= 0) & (cidx < nchunks)
+            merged = jax.tree.map(
+                lambda a, b: jnp.where(valid, a, b), new_c, c0
+            )
+            new_heads = jax.lax.ppermute(tails, ring_axis, _ring_perm)
+            return (merged, new_heads), bits
+
+        (carry, _), tb = jax.lax.scan(
+            superstep_fn, (carry, heads0),
+            jnp.arange(nsuper, dtype=jnp.int32),
+        )
+        # tb stays in (superstep, step-in-chunk, B, lane) layout; the ring
+        # wrapper re-skews it to (diagonal, B, lane) on the host.
+    elif hrow_fn is None:
         ds = jnp.arange(2, D, dtype=jnp.int32)
         carry, tb = jax.lax.scan(step, carry, (ds, hs[2:]))
     else:
@@ -489,7 +574,39 @@ def _wavefront(hs, hrow_fn, D, B, Lp, lx, ly, gap_series, mode, traceback,
             tb = tb.reshape(nchunks * K, *tb.shape[2:])[: D - 2]
     tval, tlen, ti, tj, tcode = carry[-5:]
 
+    if defer:
+        tval, tlen, ti, tj, tcode = _ring_terminal_merge(
+            tval, tlen, ti, tj, tcode, local, ring_axis
+        )
     out = {"score": tval, "length": tlen, "ti": ti, "tj": tj, "tcode": tcode}
     if traceback:
         out["tb"] = tb
     return out
+
+
+def _ring_terminal_merge(tval, tlen, ti, tj, tcode, local, ring_axis):
+    """Merge per-device terminal candidates across the superstepped ring.
+
+    Each candidate cell is owned by exactly one device, so the sequential
+    tie-break order — larger (i, j) wins at equal score for semiglobal,
+    smaller (i, j) for local, unique terminal for global — reduces to a
+    lexicographic max over (score, ±i, ±j); the winner's payload (length,
+    state code) then rides one stacked pmax.  Devices whose candidates all
+    lost hold NEG scores and lose every stage."""
+    sgn = jnp.float32(-1.0 if local else 1.0)
+    gv = jax.lax.pmax(tval, ring_axis)
+    on_v = tval == gv
+    ki = jnp.where(on_v, sgn * ti.astype(jnp.float32), NEG)
+    gi = jax.lax.pmax(ki, ring_axis)
+    on_i = on_v & (ki == gi)
+    kj = jnp.where(on_i, sgn * tj.astype(jnp.float32), NEG)
+    gj = jax.lax.pmax(kj, ring_axis)
+    win = on_i & (kj == gj)
+    pay = jnp.stack([
+        jnp.where(win, tlen, NEG),
+        jnp.where(win, tcode.astype(jnp.float32), NEG),
+    ])
+    pay = jax.lax.pmax(pay, ring_axis)
+    ti = (sgn * gi).astype(jnp.int32)
+    tj = (sgn * gj).astype(jnp.int32)
+    return gv, pay[0], ti, tj, pay[1].astype(jnp.int32)

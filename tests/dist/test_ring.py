@@ -35,7 +35,8 @@ def _problem(seed=0, B=2, Lx=45, Ly=33, A=23):
 
 @pytest.mark.parametrize("mode", ["global", "semiglobal", "local"])
 @pytest.mark.parametrize("n", [2, 8])
-def test_ring_matches_single_device(mode, n):
+@pytest.mark.parametrize("interval", [1, None])
+def test_ring_matches_single_device(mode, n, interval):
     require_devices(n)
     cx, ivx, cy, ivy, lx, ly = _problem()
     s = np.asarray(B62.as_f32())
@@ -43,7 +44,31 @@ def test_ring_matches_single_device(mode, n):
     want = wavefront_dp(hs, jnp.asarray(lx), jnp.asarray(ly),
                         gap_series=(11, 1), mode=mode, traceback=True)
     got = ring_wavefront_dp(make_pair_mesh(n), cx, ivx, cy, ivy, s, lx, ly,
-                            gap_series=(11, 1), mode=mode, traceback=True)
+                            gap_series=(11, 1), mode=mode, traceback=True,
+                            interval=interval)
+    for key in ("score", "length", "ti", "tj", "tcode"):
+        np.testing.assert_array_equal(
+            np.asarray(want[key]), np.asarray(got[key]), err_msg=key
+        )
+    tbw = np.asarray(want["tb"])
+    tbg = np.asarray(got["tb"])[:, :, : tbw.shape[2]]
+    np.testing.assert_array_equal(tbw, tbg)
+
+
+@pytest.mark.parametrize("interval", [3, 7, 200])
+def test_ring_superstep_odd_intervals(interval):
+    """Chunk sizes that do not divide the diagonal count, and one larger
+    than the whole diagonal range, stay bit-exact (pipeline fill/drain
+    supersteps are select-discarded)."""
+    require_devices(4)
+    cx, ivx, cy, ivy, lx, ly = _problem(seed=5, B=2, Lx=37, Ly=26)
+    s = np.asarray(B62.as_f32())
+    hs = skewed_pair_scores(*map(jnp.asarray, (cx, ivx, cy, ivy, s)))
+    want = wavefront_dp(hs, jnp.asarray(lx), jnp.asarray(ly),
+                        gap_series=(11, 1), mode="semiglobal", traceback=True)
+    got = ring_wavefront_dp(make_pair_mesh(4), cx, ivx, cy, ivy, s, lx, ly,
+                            gap_series=(11, 1), mode="semiglobal",
+                            traceback=True, interval=interval)
     for key in ("score", "length", "ti", "tj", "tcode"):
         np.testing.assert_array_equal(
             np.asarray(want[key]), np.asarray(got[key]), err_msg=key

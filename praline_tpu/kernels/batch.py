@@ -542,7 +542,13 @@ def align_pairs_batched(
         # EITHER backend (the fused Pallas producer materializes the same
         # O(D*Lp) tensor in HBM as the XLA gather path).
         stream = lane_over or hs_bytes > HS_BYTES_BUDGET
-        use_native = stream and traceback and tb_bytes > TB_BYTES_BUDGET
+        giant_tb = stream and traceback and tb_bytes > TB_BYTES_BUDGET
+        # Giant tracebacks stay ON DEVICE via the checkpointed walk
+        # (O(L^1.5) memory, one dispatch) for the modes device replay
+        # covers; local mode's carried-value walk falls back to the native
+        # C++ twin on the host.
+        use_ckpt = giant_tb and mode in ("global", "semiglobal")
+        use_native = giant_tb and not use_ckpt
         oversized = (
             backend == "pallas" and by > bucket_sizes[-1] and not stream
         )
@@ -587,8 +593,23 @@ def align_pairs_batched(
             sub = max(1, min(
                 batch_pairs, HS_BYTES_BUDGET // max(operand_bytes, 1)
             ))
-            if traceback:
+            if traceback and not use_ckpt:
                 sub = max(1, min(sub, TB_BYTES_BUDGET // max(tb_bytes, 1)))
+            if use_ckpt:
+                # Checkpoint footprint per problem: (4k+8) carry vectors of
+                # Lp floats per block plus one block's bits/scores buffers.
+                from .scan import wavefront_dp_checkpointed
+
+                kk = len(gap_series)
+                Dg = bx + by + 1
+                Rg = max(64, -(-int(8 * np.sqrt(Dg)) // 64) * 64)
+                per_ckpt = (
+                    (4 * kk + 8) * 4 * (-(-Dg // Rg)) * Lp_g
+                    + 5 * Rg * Lp_g
+                )
+                sub = max(1, min(
+                    sub, DISPATCH_BYTES_BUDGET // max(per_ckpt, 1)
+                ))
             for s0 in range(0, len(idxs), sub):
                 chunk = idxs[s0 : s0 + sub]
                 pxs = [pairs[i][0] for i in chunk]
@@ -597,14 +618,23 @@ def align_pairs_batched(
                 cy, inv_y = _pad_counts(pys, by)
                 lx = np.array([p.length for p in pxs], dtype=np.int32)
                 ly = np.array([p.length for p in pys], dtype=np.int32)
-                with annotate(f"dispatch:streamed:{bx}x{by}x{len(chunk)}"):
-                    out = _streamed_jit()(
-                        jnp.asarray(cx), jnp.asarray(inv_x),
-                        jnp.asarray(cy), jnp.asarray(inv_y),
-                        s_dev, jnp.asarray(lx), jnp.asarray(ly),
-                        gap_series=tuple(gap_series), mode=mode,
-                        traceback=traceback, replay=device_replay,
-                    )
+                if use_ckpt:
+                    with annotate(f"dispatch:ckpt-tb:{bx}x{by}x{len(chunk)}"):
+                        out = wavefront_dp_checkpointed(
+                            jnp.asarray(cx), jnp.asarray(inv_x),
+                            jnp.asarray(cy), jnp.asarray(inv_y),
+                            s_dev, jnp.asarray(lx), jnp.asarray(ly),
+                            gap_series=tuple(gap_series), mode=mode,
+                        )
+                else:
+                    with annotate(f"dispatch:streamed:{bx}x{by}x{len(chunk)}"):
+                        out = _streamed_jit()(
+                            jnp.asarray(cx), jnp.asarray(inv_x),
+                            jnp.asarray(cy), jnp.asarray(inv_y),
+                            s_dev, jnp.asarray(lx), jnp.asarray(ly),
+                            gap_series=tuple(gap_series), mode=mode,
+                            traceback=traceback, replay=device_replay,
+                        )
                 in_flight.append((chunk, pxs, pys, lx, ly, out))
                 drain(group_in_flight)
             continue

@@ -34,6 +34,90 @@ from ..oracle.align import AlignResult
 PTR_NONE = 31
 
 
+def _walk_init(tcode, k):
+    """Initial (state, level) of the walk from the terminal state code."""
+    st0 = jnp.where(tcode == 0, 0, jnp.where(tcode <= k, 1, 2)).astype(jnp.int32)
+    lvl0 = jnp.where(tcode <= k, tcode, tcode - k).astype(jnp.int32)
+    return st0, lvl0
+
+
+def _walk_step(bits, i, j, st, lvl, done, k):
+    """One move of the traceback state machine for a batch of walks.
+
+    ``bits`` int32[B]: the direction byte at each walk's current cell.
+    Mirrors ``oracle.align._traceback`` exactly (shared by the full-tensor
+    walk below and the checkpointed blockwise walk in kernels.scan).
+    Returns ``((ni, nj, nst, nlvl, ndone), move)``."""
+    mptr = bits & 31
+    stay_x = ((bits >> 5) & 1) == 1
+    stay_y = ((bits >> 6) & 1) == 1
+
+    is_m = (st == 0) & ~done
+    is_ix = (st == 1) & ~done
+    is_iy = (st == 2) & ~done
+
+    at_origin = (i == 0) & (j == 0)
+    m_stop = is_m & at_origin  # reached (0, 0): stop without emitting
+    m_emit = is_m & ~at_origin
+
+    # --- M: consume (i-1, j-1); next state from the stored pointer ---
+    m_done = m_emit & (mptr == PTR_NONE)
+    m_nst = jnp.where(mptr == 0, 0, jnp.where(mptr <= k, 1, 2))
+    m_nlvl = jnp.where(mptr <= k, mptr, mptr - k)
+
+    # --- Ix: consume (i-1, gap).  Border runs (j == 0) walk to origin
+    # deterministically; interior cells follow the level machine with the
+    # stay bit read at (i, j) before the move (oracle _traceback). ---
+    ix_border = is_ix & (j == 0)
+    ix_norm = is_ix & (j > 0)
+    if k == 1:
+        ixn_st = jnp.where(stay_x, 1, 0)
+        ixn_lvl = jnp.where(stay_x, 1, 0)
+    else:
+        ixn_st = jnp.where(lvl == 1, 0, 1)
+        ixn_lvl = jnp.where(
+            lvl == 1, 0,
+            jnp.where(lvl < k, lvl - 1, jnp.where(stay_x, k, k - 1)),
+        )
+
+    iy_border = is_iy & (i == 0)
+    iy_norm = is_iy & (i > 0)
+    if k == 1:
+        iyn_st = jnp.where(stay_y, 2, 0)
+        iyn_lvl = jnp.where(stay_y, 1, 0)
+    else:
+        iyn_st = jnp.where(lvl == 1, 0, 2)
+        iyn_lvl = jnp.where(
+            lvl == 1, 0,
+            jnp.where(lvl < k, lvl - 1, jnp.where(stay_y, k, k - 1)),
+        )
+
+    consume_x = m_emit | is_ix
+    consume_y = m_emit | is_iy
+    ni = i - consume_x.astype(i.dtype)
+    nj = j - consume_y.astype(j.dtype)
+
+    nst = jnp.where(m_emit, m_nst, st)
+    nst = jnp.where(ix_norm, ixn_st, nst)
+    nst = jnp.where(iy_norm, iyn_st, nst)
+    nlvl = jnp.where(m_emit, m_nlvl, lvl)
+    nlvl = jnp.where(ix_norm, ixn_lvl, nlvl)
+    nlvl = jnp.where(iy_norm, iyn_lvl, nlvl)
+    # Border runs re-level from the remaining run length.
+    nlvl = jnp.where(ix_border, jnp.minimum(ni, k), nlvl)
+    nlvl = jnp.where(iy_border, jnp.minimum(nj, k), nlvl)
+
+    ndone = done | m_stop | m_done
+    ndone = ndone | (ix_border & (ni == 0)) | (iy_border & (nj == 0))
+    # Interior gap cell stepping into M exactly at the origin.
+    ndone = ndone | ((ix_norm | iy_norm) & (nst == 0) & (ni == 0) & (nj == 0))
+
+    move = jnp.where(
+        m_emit, 1, jnp.where(is_ix, 2, jnp.where(is_iy, 3, 0))
+    ).astype(jnp.uint8)
+    return (ni, nj, nst, nlvl, ndone), move
+
+
 @functools.partial(jax.jit, static_argnames=("gap_series", "mode", "steps"))
 def replay_moves(
     tb: jax.Array,  # uint8[T, B, Lp], row t = diagonal t + 2
@@ -60,82 +144,14 @@ def replay_moves(
     tbf = tb.reshape(-1)
     bidx = jnp.arange(B, dtype=jnp.int32)
 
-    st0 = jnp.where(tcode == 0, 0, jnp.where(tcode <= k, 1, 2)).astype(jnp.int32)
-    lvl0 = jnp.where(tcode <= k, tcode, tcode - k).astype(jnp.int32)
+    st0, lvl0 = _walk_init(tcode, k)
 
     def step(carry, _):
         i, j, st, lvl, done = carry
         d = i + j
         flat = (jnp.clip(d - 2, 0, T - 1) * B + bidx) * Lp + jnp.clip(i, 0, Lp - 1)
         bits = tbf[flat].astype(jnp.int32)
-        mptr = bits & 31
-        stay_x = ((bits >> 5) & 1) == 1
-        stay_y = ((bits >> 6) & 1) == 1
-
-        is_m = (st == 0) & ~done
-        is_ix = (st == 1) & ~done
-        is_iy = (st == 2) & ~done
-
-        at_origin = (i == 0) & (j == 0)
-        m_stop = is_m & at_origin  # reached (0, 0): stop without emitting
-        m_emit = is_m & ~at_origin
-
-        # --- M: consume (i-1, j-1); next state from the stored pointer ---
-        m_done = m_emit & (mptr == PTR_NONE)
-        m_nst = jnp.where(mptr == 0, 0, jnp.where(mptr <= k, 1, 2))
-        m_nlvl = jnp.where(mptr <= k, mptr, mptr - k)
-
-        # --- Ix: consume (i-1, gap).  Border runs (j == 0) walk to origin
-        # deterministically; interior cells follow the level machine with the
-        # stay bit read at (i, j) before the move (oracle _traceback). ---
-        ix_border = is_ix & (j == 0)
-        ix_norm = is_ix & (j > 0)
-        if k == 1:
-            ixn_st = jnp.where(stay_x, 1, 0)
-            ixn_lvl = jnp.where(stay_x, 1, 0)
-        else:
-            ixn_st = jnp.where(lvl == 1, 0, 1)
-            ixn_lvl = jnp.where(
-                lvl == 1, 0,
-                jnp.where(lvl < k, lvl - 1, jnp.where(stay_x, k, k - 1)),
-            )
-
-        iy_border = is_iy & (i == 0)
-        iy_norm = is_iy & (i > 0)
-        if k == 1:
-            iyn_st = jnp.where(stay_y, 2, 0)
-            iyn_lvl = jnp.where(stay_y, 1, 0)
-        else:
-            iyn_st = jnp.where(lvl == 1, 0, 2)
-            iyn_lvl = jnp.where(
-                lvl == 1, 0,
-                jnp.where(lvl < k, lvl - 1, jnp.where(stay_y, k, k - 1)),
-            )
-
-        consume_x = m_emit | is_ix
-        consume_y = m_emit | is_iy
-        ni = i - consume_x.astype(i.dtype)
-        nj = j - consume_y.astype(j.dtype)
-
-        nst = jnp.where(m_emit, m_nst, st)
-        nst = jnp.where(ix_norm, ixn_st, nst)
-        nst = jnp.where(iy_norm, iyn_st, nst)
-        nlvl = jnp.where(m_emit, m_nlvl, lvl)
-        nlvl = jnp.where(ix_norm, ixn_lvl, nlvl)
-        nlvl = jnp.where(iy_norm, iyn_lvl, nlvl)
-        # Border runs re-level from the remaining run length.
-        nlvl = jnp.where(ix_border, jnp.minimum(ni, k), nlvl)
-        nlvl = jnp.where(iy_border, jnp.minimum(nj, k), nlvl)
-
-        ndone = done | m_stop | m_done
-        ndone = ndone | (ix_border & (ni == 0)) | (iy_border & (nj == 0))
-        # Interior gap cell stepping into M exactly at the origin.
-        ndone = ndone | ((ix_norm | iy_norm) & (nst == 0) & (ni == 0) & (nj == 0))
-
-        move = jnp.where(
-            m_emit, 1, jnp.where(is_ix, 2, jnp.where(is_iy, 3, 0))
-        ).astype(jnp.uint8)
-        return (ni, nj, nst, nlvl, ndone), move
+        return _walk_step(bits, i, j, st, lvl, done, k)
 
     init = (
         ti.astype(jnp.int32),

@@ -116,6 +116,14 @@ def wavefront_dp_streamed(
     order (oracle/score.py contract), and the (H_int * inv_x) * inv_y
     multiply order is pinned identically here.
     """
+    hrow_fn, B, Lp, D = _streamed_hrow(cx, inv_x, cy, inv_y, s)
+    return _wavefront(None, hrow_fn, D, B, Lp, lx, ly, gap_series, mode, traceback)
+
+
+def _streamed_hrow(cx, inv_x, cy, inv_y, s):
+    """Shared streamed-producer setup: returns ``(hrow_fn, B, Lp, D)`` where
+    ``hrow_fn(d)`` computes diagonal d's score row from device-resident
+    profiles (used by the streamed, checkpointed and ring paths)."""
     from .scores import HIGHEST
 
     B, Lx, A = cx.shape
@@ -145,11 +153,57 @@ def wavefront_dp_streamed(
         # chunk materialization in _wavefront (see comment there).
         return (h_int * invx_pad) * w_iv
 
-    return _wavefront(None, hrow_fn, D, B, Lp, lx, ly, gap_series, mode, traceback)
+    return hrow_fn, B, Lp, D
+
+
+@functools.partial(
+    jax.jit, static_argnames=("gap_series", "mode", "interval")
+)
+def wavefront_dp_checkpointed(
+    cx: jax.Array,
+    inv_x: jax.Array,
+    cy: jax.Array,
+    inv_y: jax.Array,
+    s: jax.Array,
+    lx: jax.Array,
+    ly: jax.Array,
+    gap_series: tuple[int, ...] = (11, 1),
+    mode: str = "global",
+    interval: int | None = None,
+):
+    """Giant-problem traceback in O(L^1.5) memory — the device-resident
+    alternative to Hirschberg divide-and-conquer (SURVEY.md §6 long-context
+    row, §9 hard part 2).
+
+    Classic Hirschberg recursion is host-driven with dynamic shapes —
+    hostile to XLA.  Instead: the streamed forward pass snapshots its scan
+    carry every R diagonals (checkpoints, O(D/R * Lp) floats), then a
+    backward pass walks the move tape block by block, re-deriving each
+    R-diagonal block's direction bits from its checkpoint with the SAME
+    step closure — so the bits, and therefore the path, are bit-identical
+    to the full-tb path by construction, while only one block's bits
+    (O(R * Lp)) ever exist.  R defaults to ~8*sqrt(D), balancing the two
+    terms; the whole thing runs in ONE jit dispatch.
+
+    Returns the terminal dict plus ``moves``/``nmoves`` (the
+    ``kernels.replay`` move-tape contract; decode with
+    ``replay.moves_to_result``).  Global/semiglobal only (local traceback
+    needs the carried-value walk, kernels.traceback).
+    """
+    if mode not in ("global", "semiglobal"):
+        raise ValueError("checkpointed traceback supports global/semiglobal only")
+    hrow_fn, B, Lp, D = _streamed_hrow(cx, inv_x, cy, inv_y, s)
+    if interval is None:
+        interval = max(64, -(-int(8 * np.sqrt(D)) // 64) * 64)
+    return _wavefront(
+        None, hrow_fn, D, B, Lp, lx, ly, gap_series, mode, True,
+        ckpt_interval=int(interval),
+    )
 
 
 def _wavefront(hs, hrow_fn, D, B, Lp, lx, ly, gap_series, mode, traceback,
-               ring_axis=None, ring_n=1, lane_base=None, ring_interval=1):
+               ring_axis=None, ring_n=1, lane_base=None, ring_interval=1,
+               ckpt_interval=None):
     """Shared DP body.  ``ring_axis`` activates the multi-device ring form
     (SURVEY.md §3.2 ring row): the lane (x) axis is sharded over a mesh
     axis, each diagonal step passes its boundary lane to the right
@@ -178,13 +232,16 @@ def _wavefront(hs, hrow_fn, D, B, Lp, lx, ly, gap_series, mode, traceback,
     superstep = ring_axis is not None and ring_interval > 1
     if superstep and hrow_fn is None:
         raise ValueError("superstepped ring requires a streamed score producer")
+    if ckpt_interval is not None and (hrow_fn is None or ring_axis is not None):
+        raise ValueError("checkpointed traceback requires the streamed "
+                         "single-device producer")
     # Deferred terminal reduction: per-device candidates, one final merge.
     defer = superstep
 
     # Padding: streamed/superstep chunking pads the diagonal range up to a
     # chunk multiple; padded-d border costs index past D (harmless but kept
     # in bounds by the clip below).
-    dpad = max(64, ring_interval)
+    dpad = max(64, ring_interval, ckpt_interval or 0)
     cum = jnp.asarray(_gap_prefix(gap_series, D + dpad), dtype=jnp.float32)
     lane = jnp.arange(Lp, dtype=jnp.int32)[None, :]  # (1, Lp)
     if ring_axis is not None:
@@ -548,6 +605,89 @@ def _wavefront(hs, hrow_fn, D, B, Lp, lx, ly, gap_series, mode, traceback,
         )
         # tb stays in (superstep, step-in-chunk, B, lane) layout; the ring
         # wrapper re-skews it to (diagonal, B, lane) on the host.
+    elif ckpt_interval is not None:
+        # ---- checkpointed traceback (see wavefront_dp_checkpointed) ----
+        R = ckpt_interval
+        nchunks = -(-(D - 2) // R)
+        bidx = jnp.arange(B, dtype=jnp.int32)
+
+        def fwd(c_carry, cidx):
+            d0 = 2 + cidx * R
+            ds_chunk = d0 + jnp.arange(R, dtype=jnp.int32)
+            hs_chunk = jax.vmap(hrow_fn)(ds_chunk)
+            new_c, _bits = jax.lax.scan(step, c_carry, (ds_chunk, hs_chunk))
+            return new_c, c_carry  # checkpoint = entry carry of the block
+
+        carry, ckpts = jax.lax.scan(
+            fwd, carry, jnp.arange(nchunks, dtype=jnp.int32)
+        )
+        tval, tlen, ti, tj, tcode = carry[-5:]
+
+        from .replay import _walk_init, _walk_step
+
+        st0, lvl0 = _walk_init(tcode, k)
+
+        def bwd(rc, b):
+            # Re-derive block b's direction bits from its checkpoint (the
+            # same step closure => identical bits), then run up to R+1 walk
+            # moves whose current diagonal falls inside this block.
+            ck = jax.tree.map(lambda a: a[b], ckpts)
+            d0 = 2 + b * R
+            ds_chunk = d0 + jnp.arange(R, dtype=jnp.int32)
+            hs_chunk = jax.vmap(hrow_fn)(ds_chunk)
+            _, bits = jax.lax.scan(step, ck, (ds_chunk, hs_chunk))
+            bitsf = bits.reshape(-1)
+
+            def rstep(c, _):
+                i, j, st, lvl, done = c
+                d = i + j
+                blk = (d - 2) // R  # floor div: border moves below d=2 -> <0
+                inwin = (blk == b) | ((d - 2 < 0) & (b == 0))
+                r = jnp.clip(d - 2 - b * R, 0, R - 1)
+                cell = bitsf[
+                    (r * B + bidx) * Lp + jnp.clip(i, 0, Lp - 1)
+                ].astype(jnp.int32)
+                (ni, nj, nst, nlvl, ndone), mv = _walk_step(
+                    cell, i, j, st, lvl, done, k
+                )
+                adv = inwin & ~done
+                nc = (
+                    jnp.where(adv, ni, i),
+                    jnp.where(adv, nj, j),
+                    jnp.where(adv, nst, st),
+                    jnp.where(adv, nlvl, lvl),
+                    jnp.where(inwin, ndone, done),
+                )
+                return nc, jnp.where(adv, mv, jnp.uint8(0))
+
+            rc, mvs = jax.lax.scan(rstep, rc, None, length=R + 1)
+            return rc, mvs  # (R + 1, B)
+
+        rc0 = (
+            ti.astype(jnp.int32), tj.astype(jnp.int32),
+            st0, lvl0, jnp.zeros((B,), bool),
+        )
+        _, mvs = jax.lax.scan(
+            bwd, rc0, jnp.arange(nchunks - 1, -1, -1, dtype=jnp.int32)
+        )
+        mvs = jnp.transpose(
+            mvs.reshape(nchunks * (R + 1), B), (1, 0)
+        )  # (B, S) terminal->origin with block-trailing zeros interleaved
+        # Compact each tape: stable scatter of nonzero moves to the front
+        # (moves_to_result expects the contiguous prefix).
+        nz = mvs != 0
+        S = mvs.shape[1]
+        tgt = jnp.where(nz, jnp.cumsum(nz.astype(jnp.int32), axis=1) - 1, S)
+        moves = (
+            jnp.zeros((B, S + 1), jnp.uint8)
+            .at[bidx[:, None], tgt]
+            .set(jnp.where(nz, mvs, jnp.uint8(0)))[:, :S]
+        )
+        nmoves = nz.sum(axis=1).astype(jnp.int32)
+        return {
+            "score": tval, "length": tlen, "ti": ti, "tj": tj,
+            "tcode": tcode, "moves": moves, "nmoves": nmoves,
+        }
     elif hrow_fn is None:
         ds = jnp.arange(2, D, dtype=jnp.int32)
         carry, tb = jax.lax.scan(step, carry, (ds, hs[2:]))

@@ -86,18 +86,20 @@ def test_lane_cap_routes_scores_only(monkeypatch):
 
 
 def test_huge_traceback_routes_to_native(monkeypatch):
-    """Past the traceback-bit budget the pair runs on the native C++
-    parity twin instead of the device."""
+    """Past the traceback-bit budget a LOCAL-mode pair runs on the native
+    C++ parity twin (its stop-at-zero walk needs the carried value);
+    global/semiglobal stay on device via the checkpointed walk (see
+    test_checkpointed.py)."""
     monkeypatch.setattr(batch_mod, "_lane_cap", lambda gs, tb: 20)
     monkeypatch.setattr(batch_mod, "TB_BYTES_BUDGET", 64)
     rng = np.random.default_rng(9)
     pairs = _pairs(rng, [(25, 18)])
     got = align_pairs_batched(
-        pairs, B62, (11, 1), "global", traceback=True,
+        pairs, B62, (11, 1), "local", traceback=True,
         bucket_sizes=(15,), backend="pallas",
     )
     (px, py), (r,) = pairs[0], got
-    want = align_profiles(px, py, B62, (11, 1), "global")
+    want = align_profiles(px, py, B62, (11, 1), "local")
     assert r.score == want.score
     np.testing.assert_array_equal(r.cols_x, want.cols_x)
 

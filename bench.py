@@ -312,6 +312,77 @@ def bench_scaling() -> dict:
     }
 
 
+def bench_ring() -> dict:
+    """Ring-parallel single alignment (SURVEY.md §3.2 ring row): per-step
+    vs superstepped boundary exchange on the simulated 8-device mesh.
+
+    The superstep (default interval=32) ships K diagonals' boundary
+    stacks per ppermute instead of one collective per diagonal; the
+    reported value is the measured end-to-end speedup at Lx=2000.  On
+    real ICI hardware (latency-bound collectives) the amortization is
+    the difference between the ring being an escape hatch and unusable.
+    """
+    import os
+    import subprocess
+    import sys
+
+    if os.environ.get("PRALINE_RING_CHILD") != "1":
+        env = dict(os.environ)
+        env["PRALINE_RING_CHILD"] = "1"
+        env["XLA_FLAGS"] = (
+            env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+        ).strip()
+        proc = subprocess.run(
+            [sys.executable, __file__, "ring"],
+            env=env, capture_output=True, text=True, timeout=1800,
+        )
+        if proc.returncode != 0:
+            raise RuntimeError(f"ring child failed:\n{proc.stderr[-2000:]}")
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from praline_tpu import builtin_score_matrix
+    from praline_tpu.dist import make_pair_mesh
+    from praline_tpu.dist.ring import ring_wavefront_dp
+
+    rng = np.random.default_rng(0)
+    B, Lx, Ly, A = 1, 2000, 1500, 23
+    cx = (rng.integers(0, 3, size=(B, Lx, A)) + (np.arange(A) == 0)).astype(np.float32)
+    cy = (rng.integers(0, 3, size=(B, Ly, A)) + (np.arange(A) == 0)).astype(np.float32)
+    ivx = (1.0 / np.maximum(cx.sum(-1), 1)).astype(np.float32)
+    ivy = (1.0 / np.maximum(cy.sum(-1), 1)).astype(np.float32)
+    lx = np.full(B, Lx, np.int32)
+    ly = np.full(B, Ly, np.int32)
+    s = np.asarray(builtin_score_matrix("blosum62").as_f32())
+    mesh = make_pair_mesh(8)
+
+    wall = {}
+    score = {}
+    for iv in (1, 32):
+        r = ring_wavefront_dp(mesh, cx, ivx, cy, ivy, s, lx, ly, interval=iv)
+        jax.block_until_ready(r)
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            r = ring_wavefront_dp(mesh, cx, ivx, cy, ivy, s, lx, ly, interval=iv)
+            score[iv] = float(np.asarray(r["score"])[0])
+            times.append(time.perf_counter() - t0)
+        wall[iv] = float(np.median(times))
+    assert score[1] == score[32], "superstep changed the score"
+    speedup = wall[1] / wall[32]
+    return {
+        "metric": "ring_superstep_speedup_sim8",
+        "value": speedup,
+        "unit": "x (per-diagonal exchange / superstepped, 8-device CPU mesh)",
+        "vs_baseline": speedup,
+        "wallclock_s": {"interval_1": round(wall[1], 4), "interval_32": round(wall[32], 4)},
+    }
+
+
 CONFIGS = {
     "cells": lambda: bench(),
     "pairwise": bench_pairwise,
@@ -320,6 +391,7 @@ CONFIGS = {
     "preprofile": lambda: bench_msa("global"),
     "modes": bench_modes,
     "scaling": bench_scaling,
+    "ring": bench_ring,
 }
 
 

@@ -80,6 +80,30 @@ def _pairs(rng, specs):
     return [(one(a), one(b)) for a, b in specs]
 
 
+@pytest.mark.parametrize("trial", range(8))
+def test_checkpointed_fuzz_vs_oracle(monkeypatch, trial):
+    """Random shapes / gap series / modes through the forced checkpointed
+    route must reproduce the oracle's exact path."""
+    monkeypatch.setattr(batch_mod, "_lane_cap", lambda gs, tb: 8)
+    monkeypatch.setattr(batch_mod, "TB_BYTES_BUDGET", 16)
+    rng = np.random.default_rng(4000 + trial)
+    gs = [(11, 1), (13, 7, 1), (5,), (10, 5, 3, 1)][trial % 4]
+    mode = ["global", "semiglobal"][trial % 2]
+    pairs = _pairs(
+        rng,
+        [(int(rng.integers(9, 40)), int(rng.integers(9, 40))) for _ in range(4)],
+    )
+    got = align_pairs_batched(
+        pairs, B62, gs, mode, traceback=True, bucket_sizes=(7,),
+        backend="pallas",
+    )
+    for (px, py), r in zip(pairs, got):
+        want = align_profiles(px, py, B62, gs, mode)
+        assert r.score == want.score
+        np.testing.assert_array_equal(r.cols_x, want.cols_x)
+        np.testing.assert_array_equal(r.cols_y, want.cols_y)
+
+
 @pytest.mark.parametrize("mode", ["global", "semiglobal"])
 def test_giant_traceback_routes_to_checkpointed(monkeypatch, mode):
     """Past the traceback-bit budget, global/semiglobal pairs stay ON

@@ -598,11 +598,13 @@ def align_pairs_batched(
             if use_ckpt:
                 # Checkpoint footprint per problem: (4k+8) carry vectors of
                 # Lp floats per block plus one block's bits/scores buffers.
-                from .scan import wavefront_dp_checkpointed
+                # Rg comes from the kernel's own default so the estimate
+                # matches the actual footprint by construction.
+                from .scan import default_ckpt_interval, wavefront_dp_checkpointed
 
                 kk = len(gap_series)
                 Dg = bx + by + 1
-                Rg = max(64, -(-int(8 * np.sqrt(Dg)) // 64) * 64)
+                Rg = default_ckpt_interval(Dg)
                 per_ckpt = (
                     (4 * kk + 8) * 4 * (-(-Dg // Rg)) * Lp_g
                     + 5 * Rg * Lp_g
@@ -625,6 +627,7 @@ def align_pairs_batched(
                             jnp.asarray(cy), jnp.asarray(inv_y),
                             s_dev, jnp.asarray(lx), jnp.asarray(ly),
                             gap_series=tuple(gap_series), mode=mode,
+                            interval=Rg,
                         )
                 else:
                     with annotate(f"dispatch:streamed:{bx}x{by}x{len(chunk)}"):

@@ -194,11 +194,18 @@ def wavefront_dp_checkpointed(
         raise ValueError("checkpointed traceback supports global/semiglobal only")
     hrow_fn, B, Lp, D = _streamed_hrow(cx, inv_x, cy, inv_y, s)
     if interval is None:
-        interval = max(64, -(-int(8 * np.sqrt(D)) // 64) * 64)
+        interval = default_ckpt_interval(D)
     return _wavefront(
         None, hrow_fn, D, B, Lp, lx, ly, gap_series, mode, True,
         ckpt_interval=int(interval),
     )
+
+
+def default_ckpt_interval(D: int) -> int:
+    """Default checkpoint block size ~8*sqrt(D), rounded up to 64: balances
+    the O(D/R) carry snapshots against the O(R) per-block bit buffer.  The
+    batch driver sizes its dispatch memory cap with the SAME function."""
+    return max(64, -(-int(8 * np.sqrt(D)) // 64) * 64)
 
 
 def _wavefront(hs, hrow_fn, D, B, Lp, lx, ly, gap_series, mode, traceback,
@@ -232,6 +239,11 @@ def _wavefront(hs, hrow_fn, D, B, Lp, lx, ly, gap_series, mode, traceback,
     superstep = ring_axis is not None and ring_interval > 1
     if superstep and hrow_fn is None:
         raise ValueError("superstepped ring requires a streamed score producer")
+    if superstep and D >= (1 << 24):
+        # The deferred terminal merge reduces (i, j) through f32 pmax,
+        # exact only below 2^24.
+        raise ValueError("superstepped ring terminal merge supports "
+                         "Lx + Ly < 2^24; use ring_interval=1 beyond")
     if ckpt_interval is not None and (hrow_fn is None or ring_axis is not None):
         raise ValueError("checkpointed traceback requires the streamed "
                          "single-device producer")
@@ -535,12 +547,8 @@ def _wavefront(hs, hrow_fn, D, B, Lp, lx, ly, gap_series, mode, traceback,
 
         if traceback:
             bits = mcode.astype(jnp.uint8)
-            if k == 1:
-                bits = bits | (stay_x.astype(jnp.uint8) << 5)
-                bits = bits | (stay_y.astype(jnp.uint8) << 6)
-            else:
-                bits = bits | (stay_x.astype(jnp.uint8) << 5)
-                bits = bits | (stay_y.astype(jnp.uint8) << 6)
+            bits = bits | (stay_x.astype(jnp.uint8) << 5)
+            bits = bits | (stay_y.astype(jnp.uint8) << 6)
             return new_carry, bits
         return new_carry, None
 

@@ -37,7 +37,9 @@ def _rand_profiles(rng, B, Lx, Ly, A=23):
 def test_checkpointed_matches_full_replay(mode, gs, interval):
     """Terminals AND the move tape are bit-equal to the full-tb walk for
     every block size — including R=2 (minimum), odd R, and R > D."""
-    rng = np.random.default_rng(hash((mode, gs, interval)) % 2**31)
+    import zlib
+
+    rng = np.random.default_rng(zlib.crc32(repr((mode, gs, interval)).encode()))
     cx, ivx, cy, ivy, lx, ly = _rand_profiles(rng, 3, 45, 33)
     s = np.asarray(B62.as_f32())
     hs = skewed_pair_scores(*map(jnp.asarray, (cx, ivx, cy, ivy, s)))

@@ -2,12 +2,16 @@
 
 Produces the same skewed score tensor as kernels.scores.skewed_pair_scores,
 but the pair score matrix H = Cx @ S @ Cy^T never touches HBM: each grid
-step computes transposed H tiles for a block of 8 problems directly on the
-MXU (``H^T = Cy_tile @ T_tile^T`` — the operand swap IS the transpose) and
-skews them on the VPU with a 7-pass barrel roll over the concatenated
-256-row stacks, writing one (128, 8, 128) block of the diagonal-major
+step computes transposed H tiles for a block of PB=32 problems directly on
+the MXU (``H^T = Cy_tile @ T_tile^T`` — the operand swap IS the transpose)
+and skews them on the VPU with a 7-pass barrel roll over the concatenated
+256-row stacks, writing one (128, 32, 128) block of the diagonal-major
 output.  HBM traffic drops from ~16 B/cell (H write + gather read + hs
-write on the XLA path) to ~4 B/cell.
+write on the XLA path) to ~4 B/cell.  Operand tiles are DMA-shaped: the
+alphabet axis rides SUBLANES (A padded to a multiple of 8) with sequence
+positions in lanes, and the inverse vectors ride lane-major blocks — the
+naive (128, A=23) and (128, 1) blocks padded their minor dim to 128 lanes
+and were ~40% of producer wall-clock in DMA alone.
 
 Geometry: hs[d, b, i] = H[i-1, d-i-1].  With lane block i = i0 + il,
 diagonal block d = d0 + dloc (d0 = 2 + 128*s, i0 = 128*ib), the needed H
@@ -20,9 +24,10 @@ V[(dloc - il) mod 256, il]: a circular roll down by il per column, applied
 as 7 masked power-of-two rolls.
 
 The pinned (H_int * inv_x) * inv_y scaling happens in-kernel as two
-multiplies followed immediately by the HBM store — there is no subsequent
-add for excess-precision contraction to fuse into, so values are
-bit-identical to the XLA path (parity-tested).
+multiplies on the pre-roll tiles (inv_x over lanes, inv_y over rows; the
+roll permutes but never re-rounds) — their results feed rolls/selects and
+the HBM store, never an add, so no excess-precision contraction can fuse
+in and values are bit-identical to the XLA path (parity-tested).
 """
 
 from __future__ import annotations
@@ -36,7 +41,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 HIGHEST = jax.lax.Precision.HIGHEST
 TILE = 128
-PB = 8  # problems per grid step (sublane-aligned output blocks)
+PB = 32  # problems per grid step (sublane-aligned output blocks)
 
 
 def _ceil_to(x: int, m: int) -> int:
@@ -85,26 +90,60 @@ def fused_skewed_scores(
     # T_pad: leading zero row aligns lane i with T row i-1.
     LxT = _ceil_to(Lp, TILE)
     tp = jnp.zeros((B_run, LxT, A), jnp.float32).at[:, 1 : Lx + 1, :].set(t)
-    invx_p = jnp.ones((B_run, LxT, 1), jnp.float32).at[:, 1 : Lx + 1, 0].set(inv_x)
 
     # CyS: 127 zero rows, then Cy, right-padded to a tile multiple.
     rows = _ceil_to(127 + Ly, TILE)
     cys = jnp.zeros((B_run, rows, A), jnp.float32).at[:, 127 : 127 + Ly, :].set(cy)
-    invy_s = jnp.ones((B_run, rows, 1), jnp.float32).at[:, 127 : 127 + Ly, 0].set(inv_y)
     CT = rows // TILE
-
     I = LxT // TILE
+
+    # DMA-friendly tiling (measured ~30% of producer wall-clock): the
+    # alphabet axis packs into SUBLANES (pad A -> multiple of 8, ~4% waste)
+    # with sequence positions in lanes, instead of A=23 lanes padded to 128
+    # (5.6x waste); the inverse vectors ride lane-major (128 lanes) blocks
+    # instead of (TILE, 1) blocks whose single lane pads 128x.
+    A8 = _ceil_to(A, 8)
+    tp4 = jnp.pad(
+        jnp.transpose(tp.reshape(B_run, I, TILE, A), (0, 1, 3, 2)),
+        ((0, 0), (0, 0), (0, A8 - A), (0, 0)),
+    )
+    cy4 = jnp.pad(
+        jnp.transpose(cys.reshape(B_run, CT, TILE, A), (0, 1, 3, 2)),
+        ((0, 0), (0, 0), (0, A8 - A), (0, 0)),
+    )
+    # Lane-major inverse vectors with a full 8-sublane tile (row 0 live,
+    # rows 1-7 zero padding — Pallas blocks need 8-divisible sublanes).
+    invx4 = jnp.zeros((B_run, I, 8, TILE), jnp.float32)
+    invx4 = invx4.at[:, :, 0, :].set(
+        jnp.ones((B_run, I * TILE), jnp.float32)
+        .at[:, 1 : Lx + 1].set(inv_x).reshape(B_run, I, TILE)
+    )
+    invy4 = jnp.zeros((B_run, CT, 8, TILE), jnp.float32)
+    invy4 = invy4.at[:, :, 0, :].set(
+        jnp.ones((B_run, CT * TILE), jnp.float32)
+        .at[:, 127 : 127 + Ly].set(inv_y).reshape(B_run, CT, TILE)
+    )
+
     total_bands = -(-(D - 2) // TILE)
     S_steps = total_bands - band_start if n_bands is None else n_bands
 
     def self_tile(b, s_, i):
-        return (b, i, 0)
+        return (b, i, 0, 0)
 
     def lo_tile(b, s_, i):
-        return (b, jnp.clip(band_start + s_ - i, 0, CT - 1), 0)
+        return (b, jnp.clip(band_start + s_ - i, 0, CT - 1), 0, 0)
 
     def hi_tile(b, s_, i):
-        return (b, jnp.clip(band_start + s_ - i + 1, 0, CT - 1), 0)
+        return (b, jnp.clip(band_start + s_ - i + 1, 0, CT - 1), 0, 0)
+
+    def iv_self(b, s_, i):
+        return (b, i, 0, 0)
+
+    def iv_lo(b, s_, i):
+        return (b, jnp.clip(band_start + s_ - i, 0, CT - 1), 0, 0)
+
+    def iv_hi(b, s_, i):
+        return (b, jnp.clip(band_start + s_ - i + 1, 0, CT - 1), 0, 0)
 
     def kernel(tp_ref, cylo_ref, cyhi_ref, invx_ref, ivlo_ref, ivhi_ref, out_ref):
         s_id = pl.program_id(1) + band_start
@@ -112,54 +151,53 @@ def fused_skewed_scores(
         c_lo = s_id - i_blk
         c_hi = c_lo + 1
 
-        tpv = tp_ref[:, :, :]  # (PB, 128, A)
+        tpv = tp_ref[:, 0]  # (PB, A8, 128): A in sublanes, x lanes
         ok_lo = (c_lo >= 0) & (c_lo < CT)
         ok_hi = (c_hi >= 0) & (c_hi < CT)
-        cylo = jnp.where(ok_lo, cylo_ref[:, :, :], 0.0)
-        cyhi = jnp.where(ok_hi, cyhi_ref[:, :, :], 0.0)
+        cylo = jnp.where(ok_lo, cylo_ref[:, 0], 0.0)
+        cyhi = jnp.where(ok_hi, cyhi_ref[:, 0], 0.0)
 
-        # Batched transposed H tiles straight off the MXU: (PB, 128c, 128l).
-        dn = (((2,), (2,)), ((0,), (0,)))
-        h_hi = jax.lax.dot_general(
-            cyhi, tpv, dn, preferred_element_type=jnp.float32, precision=HIGHEST
+        # Batched transposed H tiles straight off the MXU: one
+        # (PB, A8, 256) x (PB, A8, 128) sublane-contraction per grid step
+        # covers both cy tiles.
+        dn = (((1,), (1,)), ((0,), (0,)))
+        h2 = jax.lax.dot_general(
+            jnp.concatenate([cyhi, cylo], axis=2), tpv, dn,
+            preferred_element_type=jnp.float32, precision=HIGHEST,
         )
-        h_lo = jax.lax.dot_general(
-            cylo, tpv, dn, preferred_element_type=jnp.float32, precision=HIGHEST
-        )
+        h_hi, h_lo = h2[:, :TILE], h2[:, TILE:]
+        if scaled:
+            # Pinned order (H_int * inv_x) * inv_y applied on the UNROLLED
+            # tiles: inv_x broadcasts over lanes (axis 2), inv_y over rows
+            # (axis 1), so every element sees the same two multiplies in
+            # the same order as the post-roll form — bit-identical — while
+            # only ONE stack rides the 7-pass barrel roll.  Out-of-range
+            # tiles need no masking: their H rows are already zero and the
+            # clamped iv reads are finite, so 0 * iv == 0.
+            ivx = invx_ref[:, 0, 0][:, None, :]
+            h_hi = (h_hi * ivx) * ivhi_ref[:, 0, 0][:, :, None]
+            h_lo = (h_lo * ivx) * ivlo_ref[:, 0, 0][:, :, None]
         # (PB, 256, 128) -> (256, PB, 128): barrel axis leads, block layout
         # matches the (dloc, b, il) output directly.
         stack = jnp.transpose(jnp.concatenate([h_hi, h_lo], axis=1), (1, 0, 2))
-        if scaled:
-            iv_hi = jnp.broadcast_to(ivhi_ref[:, :, :1], (PB, TILE, TILE))
-            iv_lo = jnp.broadcast_to(ivlo_ref[:, :, :1], (PB, TILE, TILE))
-            iv_hi = jnp.where(ok_hi, iv_hi, 1.0)
-            iv_lo = jnp.where(ok_lo, iv_lo, 1.0)
-            vstack = jnp.transpose(jnp.concatenate([iv_hi, iv_lo], axis=1), (1, 0, 2))
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (2 * TILE, PB, TILE), 2)
         for bit in range(7):  # il in [0, 128)
             amt = 1 << bit
             take = (lane & amt) != 0
             stack = jnp.where(take, pltpu.roll(stack, amt, 0), stack)
-            if scaled:
-                vstack = jnp.where(take, pltpu.roll(vstack, amt, 0), vstack)
 
-        out = stack[:TILE]
-        if scaled:
-            # pinned order: (H_int * inv_x) * inv_y, then the store.
-            out = out * invx_ref[:, :, 0][None, :, :]
-            out = out * vstack[:TILE]
-        out_ref[:, :, :] = out.astype(out_dtype)
+        out_ref[:, :, :] = stack[:TILE].astype(out_dtype)
 
-    spec_a = lambda f: pl.BlockSpec((PB, TILE, A), f, memory_space=pltpu.VMEM)
-    spec_1 = lambda f: pl.BlockSpec((PB, TILE, 1), f, memory_space=pltpu.VMEM)
+    spec_a = lambda f: pl.BlockSpec((PB, 1, A8, TILE), f, memory_space=pltpu.VMEM)
+    spec_1 = lambda f: pl.BlockSpec((PB, 1, 8, TILE), f, memory_space=pltpu.VMEM)
     in_specs = [
         spec_a(self_tile),
         spec_a(lo_tile),
         spec_a(hi_tile),
-        spec_1(self_tile),
-        spec_1(lo_tile),
-        spec_1(hi_tile),
+        spec_1(iv_self),
+        spec_1(iv_lo),
+        spec_1(iv_hi),
     ]
     out_spec = pl.BlockSpec(
         (TILE, PB, TILE), lambda b, s_, i: (s_, b, i), memory_space=pltpu.VMEM
@@ -171,5 +209,5 @@ def fused_skewed_scores(
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((S_steps * TILE, B_run, LxT), out_dtype),
         interpret=bool(interpret),
-    )(tp, cys, cys, invx_p, invy_s, invy_s)
+    )(tp4, cy4, cy4, invx4, invy4, invy4)
     return hs_body[:, :B, :]

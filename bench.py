@@ -31,9 +31,14 @@ def bench(B: int = 512, L: int = 1023, iters: int = 8, backend: str = "auto") ->
 
     # Persistent compilation cache: compile requests go through a relay that
     # can be slow/flaky; cached executables make bench reruns robust.
-    jax.config.update("jax_compilation_cache_dir", "/tmp/praline_jax_cache")
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    # Keyed per backend — XLA:CPU deserialization from a mixed dir has
+    # been seen to segfault.
+    if jax.default_backend() == "tpu":
+        jax.config.update(
+            "jax_compilation_cache_dir", "/tmp/praline_jax_cache_tpu"
+        )
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     from __graft_entry__ import _example_batch
     from praline_tpu.io import builtin_score_matrix

@@ -112,17 +112,22 @@ def main(argv: list[str] | None = None) -> int:
     configure_logging(args.verbose, json_lines=args.log_json)
 
     # Persistent XLA compilation cache: kernel shapes recur across runs.
+    # TPU-only: that is where compiles are expensive (remote relay), and
+    # XLA:CPU executable deserialization from a shared dir has been seen
+    # to segfault — keep CPU runs cache-free and key the dir per backend.
     try:
         import tempfile
 
         import jax
 
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            str(Path(tempfile.gettempdir()) / "praline_jax_cache"),
-        )
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        backend = jax.default_backend()
+        if backend == "tpu":
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                str(Path(tempfile.gettempdir()) / f"praline_jax_cache_{backend}"),
+            )
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:  # cache is an optimization, never fatal
         pass
     if args.profile_dir:

@@ -19,3 +19,28 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _bound_jit_code_maps():
+    """Keep the process under the kernel's mmap-region limit.
+
+    Every compiled XLA:CPU executable holds JIT code pages in their own
+    mmap regions, and the full suite compiles thousands of distinct
+    shapes; past ``vm.max_map_count`` (65530 default) further mmaps fail
+    and LLVM segfaults mid-compile (observed: nondeterministic
+    ``Fatal Python error: Segmentation fault`` in
+    ``backend_compile_and_load`` ~75% into the suite).  Clearing JAX's
+    executable caches releases the regions (verified: 1719 -> 532 maps),
+    at the cost of recompiles in later tests.
+    """
+    yield
+    try:
+        with open(f"/proc/{os.getpid()}/maps") as f:
+            n = sum(1 for _ in f)
+    except OSError:
+        return
+    if n > 40_000:
+        jax.clear_caches()

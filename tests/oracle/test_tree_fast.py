@@ -79,4 +79,6 @@ def test_n2000_in_seconds():
     tree = build_guide_tree(sim, "average")
     dt = time.perf_counter() - t0
     assert len(tree.joins) == 1999
-    assert dt < 10.0, f"guide tree for N=2000 took {dt:.1f}s"
+    # ~0.6s typical; the bound only needs to catch an O(N^3)+ regression
+    # (minutes), not CI load spikes (observed 11s under a saturated box).
+    assert dt < 60.0, f"guide tree for N=2000 took {dt:.1f}s"

@@ -72,6 +72,10 @@ def build_parser() -> argparse.ArgumentParser:
         help="output format (default: by output extension, else fasta)",
     )
     p.add_argument(
+        "--tree-out", default=None, metavar="FILE",
+        help="also write the guide tree as Newick (leaf labels = sequence ids)",
+    )
+    p.add_argument(
         "--backend", choices=["auto", "oracle", "xla", "pallas"], default="auto",
         help="compute backend (auto = Pallas kernels on TPU, XLA elsewhere)",
     )
@@ -115,21 +119,24 @@ def main(argv: list[str] | None = None) -> int:
     # TPU-only: that is where compiles are expensive (remote relay), and
     # XLA:CPU executable deserialization from a shared dir has been seen
     # to segfault — keep CPU runs cache-free and key the dir per backend.
-    try:
-        import tempfile
+    # The oracle backend is pure NumPy: never touch (or initialize) the
+    # accelerator for it.
+    if args.backend != "oracle":
+        try:
+            import tempfile
 
-        import jax
+            import jax
 
-        backend = jax.default_backend()
-        if backend == "tpu":
-            jax.config.update(
-                "jax_compilation_cache_dir",
-                str(Path(tempfile.gettempdir()) / f"praline_jax_cache_{backend}"),
-            )
-            jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    except Exception:  # cache is an optimization, never fatal
-        pass
+            backend = jax.default_backend()
+            if backend == "tpu":
+                jax.config.update(
+                    "jax_compilation_cache_dir",
+                    str(Path(tempfile.gettempdir()) / f"praline_jax_cache_{backend}"),
+                )
+                jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+                jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        except Exception:  # cache is an optimization, never fatal
+            pass
     if args.profile_dir:
         enable_profiling(args.profile_dir)
 
@@ -182,9 +189,18 @@ def main(argv: list[str] | None = None) -> int:
 
     from ..msa import msa_align
 
+    on_tree = None
+    if args.tree_out:
+        def on_tree(tree, _path=args.tree_out):
+            names = [s.name for s in sequences]
+            Path(_path).write_text(tree.newick(names) + "\n")
+            log.info("wrote guide tree to %s", _path)
+
     # --devices is recorded as config.mesh_shape; msa_align builds the mesh.
     t0 = time.perf_counter()
-    alignment = msa_align(sequences, matrix, config, extra_slaves=extra_slaves)
+    alignment = msa_align(
+        sequences, matrix, config, extra_slaves=extra_slaves, on_tree=on_tree
+    )
     log.info("aligned %d sequences into %d columns in %.2fs",
              alignment.num_members, alignment.num_columns, time.perf_counter() - t0)
 

@@ -279,13 +279,15 @@ def msa_align(
     extra_slaves: dict[int, list[Sequence]] | None = None,
     mesh=None,
     fault_hook=None,
+    on_tree=None,
 ) -> Alignment:
     """Full PRALINE-equivalent MSA (SURVEY.md C18), batched on device.
 
     ``config.backend``: ``"oracle"`` runs the pure NumPy reference pipeline;
     ``"xla"``/``"pallas"``/``"auto"`` run the batched kernel pipeline.
     ``fault_hook`` is a test-only failure-injection seam for the distance
-    stage (SURVEY.md §6).
+    stage (SURVEY.md §6).  ``on_tree(tree)`` is called with the
+    :class:`SequenceTree` once the guide tree exists (CLI ``--tree-out``).
     """
     from ..util.checkpoint import Checkpoint, run_digest
     from ..util.metrics import METRICS, maybe_trace
@@ -296,7 +298,9 @@ def msa_align(
     if len(sequences) == 1:
         return Alignment.single(sequences[0])
     if config.backend == "oracle":
-        return oracle_msa(sequences, matrix, config, extra_slaves=extra_slaves)
+        return oracle_msa(
+            sequences, matrix, config, extra_slaves=extra_slaves, on_tree=on_tree
+        )
 
     if mesh is None and config.mesh_shape:
         from ..dist import make_pair_mesh
@@ -342,6 +346,8 @@ def msa_align(
                 tree = build_guide_tree(sim, config.linkage)
                 if ckpt:
                     ckpt.save_tree(tree)
+            if on_tree is not None:
+                on_tree(tree)
 
         with METRICS.timed("merge"):
             result = batched_progressive_merge(seqs, tree, matrix, config, mesh=mesh)

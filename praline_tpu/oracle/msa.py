@@ -45,6 +45,7 @@ def oracle_msa(
     matrix: ScoreMatrix,
     config: PralineConfig,
     extra_slaves: dict[int, list[Sequence]] | None = None,
+    on_tree=None,
 ) -> Alignment:
     """Full PRALINE recipe, oracle semantics (§4.1)."""
     if not sequences:
@@ -64,4 +65,6 @@ def oracle_msa(
     )
     sim = similarity_from_scores(scores, lengths, config.score_normalization)
     tree = build_guide_tree(sim, config.linkage)
+    if on_tree is not None:
+        on_tree(tree)
     return progressive_merge(seqs, tree, matrix, config.gap_series, config.merge_mode)

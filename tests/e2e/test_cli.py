@@ -38,6 +38,23 @@ def test_cli_clustal_by_extension(in_fasta, tmp_path):
     assert out.read_text().startswith("CLUSTAL")
 
 
+def test_cli_tree_out(in_fasta, tmp_path):
+    out = tmp_path / "out.fasta"
+    tree = tmp_path / "guide.nwk"
+    rc = main([str(in_fasta), str(out), "--tree-out", str(tree)])
+    assert rc == 0
+    nwk = tree.read_text().strip()
+    assert nwk.endswith(";") and nwk.count("(") == 2  # 3 leaves -> 2 joins
+    for name in ("a", "b", "c"):
+        assert name in nwk
+    # oracle backend writes the same topology through the same hook
+    tree2 = tmp_path / "guide2.nwk"
+    rc = main([str(in_fasta), str(tmp_path / "o2.fasta"), "--backend", "oracle",
+               "--tree-out", str(tree2)])
+    assert rc == 0
+    assert tree2.read_text() == tree.read_text()
+
+
 def test_cli_full_knobs(in_fasta, tmp_path):
     out = tmp_path / "out.fasta"
     rc = main(

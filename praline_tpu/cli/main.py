@@ -76,6 +76,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="also write the guide tree as Newick (leaf labels = sequence ids)",
     )
     p.add_argument(
+        "--score-against", default=None, metavar="REF",
+        help="report SP/TC column-accuracy of the result against a "
+        "reference alignment (FASTA or CLUSTAL by extension) — metric "
+        "only, BAliBASE-style evaluation",
+    )
+    p.add_argument(
         "--backend", choices=["auto", "oracle", "xla", "pallas"], default="auto",
         help="compute backend (auto = Pallas kernels on TPU, XLA elsewhere)",
     )
@@ -208,6 +214,22 @@ def main(argv: list[str] | None = None) -> int:
         pio.write_alignment_clustal(alignment, args.output)
     else:
         pio.write_alignment_fasta(alignment, args.output, wrap=config.fasta_wrap)
+
+    if args.score_against:
+        from ..util.accuracy import sp_tc
+
+        ref_path = args.score_against
+        try:
+            if ref_path.endswith((".aln", ".clustal", ".clu")):
+                ref = pio.load_alignment_clustal(ref_path, alphabet)
+            else:
+                ref = pio.load_alignment_fasta(ref_path, alphabet)
+            sp, tc = sp_tc(alignment, ref)
+        except (OSError, ValueError) as e:
+            print(f"error: --score-against: {e}", file=sys.stderr)
+            return 2
+        log.info("column accuracy vs %s: SP=%.4f TC=%.4f", ref_path, sp, tc)
+        print(f"SP={sp:.4f} TC={tc:.4f}")
     return 0
 
 

@@ -38,6 +38,19 @@ def test_cli_clustal_by_extension(in_fasta, tmp_path):
     assert out.read_text().startswith("CLUSTAL")
 
 
+def test_cli_score_against(in_fasta, tmp_path, capsys):
+    out = tmp_path / "out.fasta"
+    assert main([str(in_fasta), str(out)]) == 0
+    rc = main([str(in_fasta), str(tmp_path / "out2.aln"),
+               "--score-against", str(out)])
+    assert rc == 0
+    assert "SP=1.0000 TC=1.0000" in capsys.readouterr().out
+    # missing reference file is a clean error
+    rc = main([str(in_fasta), str(tmp_path / "o3.fasta"),
+               "--score-against", str(tmp_path / "nope.fasta")])
+    assert rc == 2
+
+
 def test_cli_tree_out(in_fasta, tmp_path):
     out = tmp_path / "out.fasta"
     tree = tmp_path / "guide.nwk"

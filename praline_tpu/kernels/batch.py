@@ -42,6 +42,22 @@ class PairResult:
     tj: int
 
 
+def _fused_dp_enabled() -> bool:
+    """Routing gate for the fully fused producer+DP scores kernel.
+
+    Bit-parity with the two-kernel path is CPU-verified (tests); default
+    follows PRALINE_FUSED_DP (on when unset off-TPU for test coverage,
+    pending on-chip Mosaic validation on real hardware)."""
+    import os
+
+    import jax
+
+    v = os.environ.get("PRALINE_FUSED_DP")
+    if v is not None:
+        return v == "1"
+    return jax.default_backend() != "tpu"
+
+
 def _dispatch_core(cx, inv_x, cy, inv_y, s, lx, ly, *, gap_series, mode,
                    traceback, backend, qd, replay):
     """Score producer + wavefront DP (+ on-device traceback replay) — the
@@ -49,12 +65,22 @@ def _dispatch_core(cx, inv_x, cy, inv_y, s, lx, ly, *, gap_series, mode,
     batch costs a single executable and a single round trip."""
     import jax.numpy as jnp
 
+    from .fused_dp import max_lanes_fused, wavefront_dp_fused
     from .fused_scores import fused_skewed_scores
     from .pallas_dp import wavefront_dp_pallas
     from .scan import wavefront_dp
     from .scores import skewed_pair_scores
 
-    if backend == "pallas":
+    if backend == "pallas" and not traceback and _fused_dp_enabled() and (
+        -(-(cx.shape[1] + 1) // 128) * 128 <= max_lanes_fused(gap_series)
+    ):
+        # Scores-only dispatches run the fully fused producer+DP kernel:
+        # the skewed score tensor never touches HBM (kernels.fused_dp).
+        out = wavefront_dp_fused(
+            cx, inv_x, cy, inv_y, s, lx, ly,
+            gap_series=gap_series, mode=mode,
+        )
+    elif backend == "pallas":
         hs = fused_skewed_scores(
             cx, inv_x, cy, inv_y, s,
             out_dtype=qd if qd is not None else jnp.float32,

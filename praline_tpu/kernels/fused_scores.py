@@ -48,6 +48,59 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _pack_operands(cx, inv_x, cy, inv_y, s):
+    """DMA-shaped producer operands (shared with the fully fused
+    producer+DP kernel, kernels.fused_dp).
+
+    The alphabet axis packs into SUBLANES (pad A -> multiple of 8, ~4%
+    waste) with sequence positions in lanes, instead of A=23 lanes padded
+    to 128 (5.6x waste); the inverse vectors ride lane-major (128 lanes)
+    blocks with a full 8-sublane tile (row 0 live) instead of (TILE, 1)
+    blocks whose single lane pads 128x.  The naive layouts were ~30% of
+    producer wall-clock in DMA alone.
+
+    Returns ``(tp4, cy4, invx4, invy4, LxT, CT, I, A8)`` where
+    ``tp4[b, i, a, l]`` holds (Cx @ S) with a leading zero row (lane i =
+    T row i-1), and ``cy4`` is Cy shifted 127 zero rows down (the two
+    aligned tiles (s - i) and (s - i + 1) cover a diagonal band's window).
+    """
+    B, Lx, A = cx.shape
+    Ly = cy.shape[1]
+    Lp = Lx + 1
+
+    t = jnp.einsum("bxa,ac->bxc", cx, s, precision=HIGHEST)
+    # T_pad: leading zero row aligns lane i with T row i-1.
+    LxT = _ceil_to(Lp, TILE)
+    tp = jnp.zeros((B, LxT, A), jnp.float32).at[:, 1 : Lx + 1, :].set(t)
+
+    # CyS: 127 zero rows, then Cy, right-padded to a tile multiple.
+    rows = _ceil_to(127 + Ly, TILE)
+    cys = jnp.zeros((B, rows, A), jnp.float32).at[:, 127 : 127 + Ly, :].set(cy)
+    CT = rows // TILE
+    I = LxT // TILE
+
+    A8 = _ceil_to(A, 8)
+    tp4 = jnp.pad(
+        jnp.transpose(tp.reshape(B, I, TILE, A), (0, 1, 3, 2)),
+        ((0, 0), (0, 0), (0, A8 - A), (0, 0)),
+    )
+    cy4 = jnp.pad(
+        jnp.transpose(cys.reshape(B, CT, TILE, A), (0, 1, 3, 2)),
+        ((0, 0), (0, 0), (0, A8 - A), (0, 0)),
+    )
+    invx4 = jnp.zeros((B, I, 8, TILE), jnp.float32)
+    invx4 = invx4.at[:, :, 0, :].set(
+        jnp.ones((B, I * TILE), jnp.float32)
+        .at[:, 1 : Lx + 1].set(inv_x).reshape(B, I, TILE)
+    )
+    invy4 = jnp.zeros((B, CT, 8, TILE), jnp.float32)
+    invy4 = invy4.at[:, :, 0, :].set(
+        jnp.ones((B, CT * TILE), jnp.float32)
+        .at[:, 127 : 127 + Ly].set(inv_y).reshape(B, CT, TILE)
+    )
+    return tp4, cy4, invx4, invy4, LxT, CT, I, A8
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("out_dtype", "scaled", "interpret", "band_start", "n_bands"),
@@ -86,42 +139,8 @@ def fused_skewed_scores(
         cy = jnp.pad(cy, ((0, pad), (0, 0), (0, 0)))
         inv_y = jnp.pad(inv_y, ((0, pad), (0, 0)), constant_values=1.0)
 
-    t = jnp.einsum("bxa,ac->bxc", cx, s, precision=HIGHEST)
-    # T_pad: leading zero row aligns lane i with T row i-1.
-    LxT = _ceil_to(Lp, TILE)
-    tp = jnp.zeros((B_run, LxT, A), jnp.float32).at[:, 1 : Lx + 1, :].set(t)
-
-    # CyS: 127 zero rows, then Cy, right-padded to a tile multiple.
-    rows = _ceil_to(127 + Ly, TILE)
-    cys = jnp.zeros((B_run, rows, A), jnp.float32).at[:, 127 : 127 + Ly, :].set(cy)
-    CT = rows // TILE
-    I = LxT // TILE
-
-    # DMA-friendly tiling (measured ~30% of producer wall-clock): the
-    # alphabet axis packs into SUBLANES (pad A -> multiple of 8, ~4% waste)
-    # with sequence positions in lanes, instead of A=23 lanes padded to 128
-    # (5.6x waste); the inverse vectors ride lane-major (128 lanes) blocks
-    # instead of (TILE, 1) blocks whose single lane pads 128x.
-    A8 = _ceil_to(A, 8)
-    tp4 = jnp.pad(
-        jnp.transpose(tp.reshape(B_run, I, TILE, A), (0, 1, 3, 2)),
-        ((0, 0), (0, 0), (0, A8 - A), (0, 0)),
-    )
-    cy4 = jnp.pad(
-        jnp.transpose(cys.reshape(B_run, CT, TILE, A), (0, 1, 3, 2)),
-        ((0, 0), (0, 0), (0, A8 - A), (0, 0)),
-    )
-    # Lane-major inverse vectors with a full 8-sublane tile (row 0 live,
-    # rows 1-7 zero padding — Pallas blocks need 8-divisible sublanes).
-    invx4 = jnp.zeros((B_run, I, 8, TILE), jnp.float32)
-    invx4 = invx4.at[:, :, 0, :].set(
-        jnp.ones((B_run, I * TILE), jnp.float32)
-        .at[:, 1 : Lx + 1].set(inv_x).reshape(B_run, I, TILE)
-    )
-    invy4 = jnp.zeros((B_run, CT, 8, TILE), jnp.float32)
-    invy4 = invy4.at[:, :, 0, :].set(
-        jnp.ones((B_run, CT * TILE), jnp.float32)
-        .at[:, 127 : 127 + Ly].set(inv_y).reshape(B_run, CT, TILE)
+    tp4, cy4, invx4, invy4, LxT, CT, I, A8 = _pack_operands(
+        cx, inv_x, cy, inv_y, s
     )
 
     total_bands = -(-(D - 2) // TILE)

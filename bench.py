@@ -70,12 +70,19 @@ def bench(B: int = 512, L: int = 1023, iters: int = 8, backend: str = "auto") ->
         arg_sets.append(tuple(jnp.asarray(a) for a in (cx, inv_x, cy, inv_y, s, lx, ly)))
 
     if backend == "pallas":
-        from praline_tpu.kernels.fused_scores import fused_skewed_scores
+        # The PRODUCTION dispatch body (kernels.batch._dispatch_core):
+        # routes the fully fused producer+DP kernel when enabled, else the
+        # fused-producer + Pallas-DP pair — bench measures what the
+        # pipeline runs.
+        from praline_tpu.kernels.batch import _dispatch_core
 
         @jax.jit
         def run(cx, inv_x, cy, inv_y, s, lx, ly):
-            hs = fused_skewed_scores(cx, inv_x, cy, inv_y, s)
-            out = dp(hs, lx, ly, gap_series=(11, 1), mode="global", hs_body=True)
+            out = _dispatch_core(
+                cx, inv_x, cy, inv_y, s, lx, ly,
+                gap_series=(11, 1), mode="global", traceback=False,
+                backend="pallas", qd=None, replay=False,
+            )
             return out["score"], out["length"]
     else:
 

@@ -47,10 +47,7 @@ def bench(B: int = 512, L: int = 1023, iters: int = 8, backend: str = "auto") ->
 
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
-    if backend == "pallas":
-        from praline_tpu.kernels.pallas_dp import wavefront_dp_pallas as dp
-    else:
-        dp = wavefront_dp
+    dp = wavefront_dp  # xla path; pallas measures _dispatch_core below
 
     rng = np.random.default_rng(0)
     s = builtin_score_matrix("blosum62").as_f32()

@@ -197,6 +197,12 @@ def main(argv: list[str] | None = None) -> int:
 
     on_tree = None
     if args.tree_out:
+        try:  # fail on an unwritable path BEFORE the expensive stages
+            Path(args.tree_out).touch()
+        except OSError as e:
+            print(f"error: --tree-out: {e}", file=sys.stderr)
+            return 2
+
         def on_tree(tree, _path=args.tree_out):
             names = [s.name for s in sequences]
             Path(_path).write_text(tree.newick(names) + "\n")

@@ -732,9 +732,20 @@ def align_pairs_batched(
             ly = sy_st["host_lens"][iy]
             qd = None
             if group_backend == "pallas" and sx_st["onehot"] and sy_st["onehot"]:
+                from .fused_dp import max_lanes_fused
                 from .scores import quantized_dtype_for
 
-                qd = quantized_dtype_for(max_s)
+                # int8 scale-free scoring halves the TWO-kernel path's hs
+                # HBM traffic; the fused kernel has no hs traffic at all,
+                # so when the dispatch will route fused, qd stays None
+                # (don't compute a knob the kernel would ignore).
+                fused_take = (
+                    not traceback
+                    and _fused_dp_enabled()
+                    and -(-(bx + 1) // 128) * 128 <= max_lanes_fused(gap_series)
+                )
+                if not fused_take:
+                    qd = quantized_dtype_for(max_s)
             static = dict(
                 gap_series=tuple(gap_series), mode=mode, traceback=traceback,
                 backend=group_backend, qd=qd, replay=device_replay,

@@ -232,7 +232,16 @@ class SequenceTree:
 
     def newick(self, names: list[str] | None = None) -> str:
         n = self.num_leaves
-        label = (lambda i: names[i]) if names else (lambda i: str(i))
+
+        def label(i: int) -> str:
+            text = names[i] if names else str(i)
+            # Newick spec: labels containing structural characters or
+            # whitespace must be single-quoted, internal quotes doubled
+            # (real FASTA headers routinely contain (),:; and spaces).
+            if any(c in "()[]{},;:='\"\t\n " for c in text):
+                return "'" + text.replace("'", "''") + "'"
+            return text
+
         rendered: dict[int, str] = {i: label(i) for i in range(n)}
         for k, (l, r) in enumerate(self.joins):
             rendered[n + k] = f"({rendered[l]},{rendered[r]})"

@@ -27,6 +27,11 @@ def _residue_columns(aln: Alignment) -> dict[str, np.ndarray]:
     """name -> int32[len(seq)] mapping residue index -> alignment column."""
     out: dict[str, np.ndarray] = {}
     for k, member in enumerate(aln.members):
+        if member.name in out:
+            raise ValueError(
+                f"duplicate sequence name {member.name!r}: SP/TC matches "
+                "members by name and cannot disambiguate"
+            )
         row = aln.rows[k]
         cols = np.flatnonzero(row != GAP).astype(np.int64)
         out[member.name] = cols
@@ -46,9 +51,12 @@ def sp_tc(test: Alignment, ref: Alignment) -> tuple[float, float]:
             "test and reference alignments contain different sequences: "
             f"{sorted(set(tcols) ^ set(rcols))}"
         )
-    for name in rcols:
-        if tcols[name].shape != rcols[name].shape:
-            raise ValueError(f"sequence {name!r} differs between alignments")
+    ttoks = {m.name: m.tokens for m in test.members}
+    for member in ref.members:
+        if not np.array_equal(ttoks[member.name], member.tokens):
+            raise ValueError(
+                f"sequence {member.name!r} differs between alignments"
+            )
 
     names = [m.name for m in ref.members]
     n = len(names)

@@ -60,9 +60,28 @@ def test_cli_tree_out(in_fasta, tmp_path):
     assert nwk.endswith(";") and nwk.count("(") == 2  # 3 leaves -> 2 joins
     for name in ("a", "b", "c"):
         assert name in nwk
-    # oracle backend writes the same topology through the same hook
+    # unwritable path: clean error BEFORE the pipeline runs
+    rc = main([str(in_fasta), str(tmp_path / "o9.fasta"),
+               "--tree-out", str(tmp_path / "no-dir" / "t.nwk")])
+    assert rc == 2
+
+
+def test_newick_quotes_metacharacter_labels(tmp_path):
+    p = tmp_path / "in.fasta"
+    p.write_text(">sp|P1|ABC protein (fragment), v2\nMKVLAW\n>b\nMKVLAW\n")
+    tree = tmp_path / "t.nwk"
+    rc = main([str(p), str(tmp_path / "o.fasta"), "--tree-out", str(tree)])
+    assert rc == 0
+    nwk = tree.read_text().strip()
+    assert "'sp|P1|ABC protein (fragment), v2'" in nwk
+    # outside quoted labels the topology has exactly one join bracket
+    import re
+
+    stripped = re.sub(r"'(?:[^']|'')*'", "L", nwk)
+    assert stripped == "(L,b);"
+    # oracle backend writes the same tree through the same hook
     tree2 = tmp_path / "guide2.nwk"
-    rc = main([str(in_fasta), str(tmp_path / "o2.fasta"), "--backend", "oracle",
+    rc = main([str(p), str(tmp_path / "o2.fasta"), "--backend", "oracle",
                "--tree-out", str(tree2)])
     assert rc == 0
     assert tree2.read_text() == tree.read_text()

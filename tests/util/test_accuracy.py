@@ -56,6 +56,19 @@ def test_mismatched_members_raise():
         sp_tc(a, c)
 
 
+def test_duplicate_names_raise():
+    dup = _aln([("x", "MKV"), ("x", "MKV"), ("y", "MKV")])
+    with pytest.raises(ValueError, match="duplicate"):
+        sp_tc(dup, dup)
+
+
+def test_same_length_different_residues_raise():
+    a = _aln([("a", "MKV"), ("b", "MKV")])
+    c = _aln([("a", "MAV"), ("b", "MKV")])
+    with pytest.raises(ValueError, match="differs"):
+        sp_tc(a, c)
+
+
 def test_member_order_irrelevant():
     ref = _aln([("a", "MKV"), ("b", "MK-"), ("c", "M-V")])
     test = _aln([("c", "M--V"), ("a", "MKV-"), ("b", "MK--")])

@@ -71,14 +71,16 @@ def _dispatch_core(cx, inv_x, cy, inv_y, s, lx, ly, *, gap_series, mode,
     from .scan import wavefront_dp
     from .scores import skewed_pair_scores
 
-    if backend == "pallas" and not traceback and _fused_dp_enabled() and (
-        -(-(cx.shape[1] + 1) // 128) * 128 <= max_lanes_fused(gap_series)
+    if backend == "pallas" and _fused_dp_enabled() and (
+        -(-(cx.shape[1] + 1) // 128) * 128
+        <= max_lanes_fused(gap_series, not traceback, traceback)
     ):
-        # Scores-only dispatches run the fully fused producer+DP kernel:
-        # the skewed score tensor never touches HBM (kernels.fused_dp).
+        # The fully fused producer+DP kernel: the skewed score tensor
+        # never touches HBM (kernels.fused_dp); traceback bits stream out
+        # per band exactly as in the two-kernel path.
         out = wavefront_dp_fused(
             cx, inv_x, cy, inv_y, s, lx, ly,
-            gap_series=gap_series, mode=mode,
+            gap_series=gap_series, mode=mode, traceback=traceback,
         )
     elif backend == "pallas":
         hs = fused_skewed_scores(
@@ -739,10 +741,9 @@ def align_pairs_batched(
                 # HBM traffic; the fused kernel has no hs traffic at all,
                 # so when the dispatch will route fused, qd stays None
                 # (don't compute a knob the kernel would ignore).
-                fused_take = (
-                    not traceback
-                    and _fused_dp_enabled()
-                    and -(-(bx + 1) // 128) * 128 <= max_lanes_fused(gap_series)
+                fused_take = _fused_dp_enabled() and (
+                    -(-(bx + 1) // 128) * 128
+                    <= max_lanes_fused(gap_series, not traceback, traceback)
                 )
                 if not fused_take:
                     qd = quantized_dtype_for(max_s)

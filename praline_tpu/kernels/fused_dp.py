@@ -39,19 +39,28 @@ NEG = np.float32(-1.0e30)
 BBLK = 8  # problems per batch block (sublane-aligned f32 tiles)
 
 
-def max_lanes_fused(gap_series, lengths: bool = True) -> int:
+PTR_NONE = 31
+
+
+def max_lanes_fused(gap_series, lengths: bool = True,
+                    traceback: bool = False) -> int:
     """Largest padded lane count (LxT) the fused kernel's VMEM footprint
     supports: the 128-row band scratch plus the DP state rows, all
-    (BBLK, LxT) f32.  The batch driver treats this as a router bound."""
+    (BBLK, LxT) f32 (+ int32 code carries and the uint8 band bit block in
+    traceback mode).  The batch driver treats this as a router bound."""
     k = len(gap_series)
     n_rows = 3 + 2 * k + ((3 + 2 * k) if lengths else 0)
+    if traceback:
+        n_rows += 2  # r1c, r2c
     bytes_per_lane = 4 * BBLK * (TILE + n_rows)
+    if traceback:
+        bytes_per_lane += 2 * BBLK * TILE  # double-buffered band bit block
     return int(11e6 // bytes_per_lane)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("gap_series", "mode", "lengths", "interpret"),
+    static_argnames=("gap_series", "mode", "lengths", "traceback", "interpret"),
 )
 def wavefront_dp_fused(
     cx: jax.Array,  # f32[B, Lx, A] integer-valued counts
@@ -63,13 +72,18 @@ def wavefront_dp_fused(
     ly: jax.Array,  # int32[B]
     gap_series: tuple[int, ...] = (11, 1),
     mode: str = "global",
-    lengths: bool = True,
+    lengths: bool | None = None,
+    traceback: bool = False,
     interpret: bool | None = None,
 ):
-    """Same terminal contract as ``wavefront_dp`` with ``traceback=False``
-    (``tcode`` is zeros, like pallas_dp with code carries disabled)."""
+    """Same terminal contract as ``wavefront_dp`` (``tcode``/``length``
+    are zeros when the respective carries are disabled, as in pallas_dp;
+    ``tb`` rows are band-padded to a multiple of 128 — valid rows are
+    ``[: D - 2]``)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if lengths is None:
+        lengths = not traceback
     k = len(gap_series)
     if k > 15:
         raise ValueError("gap series deeper than 15 levels not supported")
@@ -98,7 +112,7 @@ def wavefront_dp_fused(
     tp4, cy4, invx4, invy4, LxT, CT, I, A8 = _pack_operands(
         cx, inv_x, cy, inv_y, s
     )
-    if LxT > max_lanes_fused(gap_series, lengths):
+    if LxT > max_lanes_fused(gap_series, lengths, traceback):
         raise ValueError(
             f"lane count {LxT} exceeds the fused kernel's VMEM budget; "
             "route through the two-kernel or streamed path"
@@ -113,29 +127,38 @@ def wavefront_dp_fused(
     state_names = ["m1", "r1v", "r2v", "ix1", "iy1"]
     if lengths:
         state_names += ["lm1", "r1l", "r2l", "lix1", "liy1"]
+    if traceback:
+        state_names += ["r1c", "r2c"]
     term_names = ["tval", "tis", "tjs"] + (["tlen"] if lengths else [])
+    if traceback:
+        term_names += ["tcs"]
 
-    def prio(m, ixs, iys, lm=None, lixs=None, liys=None):
+    def prio(m, ixs, iys, lm=None, lixs=None, liys=None, codes=False):
         v = m
         ln = lm
+        c = jnp.zeros((BBLK, LxT), jnp.int32) if codes else None
         for l in range(k):
             b = ixs[l] > v
             v = jnp.where(b, ixs[l], v)
             if ln is not None:
                 ln = jnp.where(b, lixs[l], ln)
+            if codes:
+                c = jnp.where(b, 1 + l, c)
         for l in range(k):
             b = iys[l] > v
             v = jnp.where(b, iys[l], v)
             if ln is not None:
                 ln = jnp.where(b, liys[l], ln)
-        return v, ln
+            if codes:
+                c = jnp.where(b, 1 + k + l, c)
+        return v, ln, c
 
     def _pick(v, mask, fill):
         return jnp.max(jnp.where(mask, v, fill), axis=1, keepdims=True)
 
     def kernel(cum_ref, tp_ref, cylo_ref, cyhi_ref, ivx_ref, ivlo_ref,
                ivhi_ref, lx_ref, ly_ref,
-               score_ref, len_ref, ti_ref, tj_ref,
+               score_ref, len_ref, ti_ref, tj_ref, tcode_ref, tb_ref,
                hsb, *scr):
         S = dict(zip(state_names + term_names, scr))
         s_id = pl.program_id(1)
@@ -168,27 +191,37 @@ def wavefront_dp_fused(
                     S["lix1"][l] = lx0[l]
                     S["liy1"][l] = ly0[l]
             S["r2v"][:, :] = jnp.where(lane == 0, 0.0, negs)
-            v, ln = prio(m1v, ix0, iy0,
-                         zeros if lengths else None,
-                         lx0 if lengths else None,
-                         ly0 if lengths else None)
+            v, ln, c = prio(m1v, ix0, iy0,
+                            zeros if lengths else None,
+                            lx0 if lengths else None,
+                            ly0 if lengths else None,
+                            codes=traceback)
             S["r1v"][:, :] = v
             if lengths:
                 S["lm1"][:, :] = zeros
                 S["r2l"][:, :] = zeros
                 S["r1l"][:, :] = ln
+            if traceback:
+                S["r2c"][:, :] = jnp.zeros((BBLK, LxT), jnp.int32)
+                S["r1c"][:, :] = c
             S["tval"][:, :] = jnp.full((BBLK, 1), NEG, jnp.float32)
             S["tis"][:, :] = jnp.zeros((BBLK, 1), jnp.int32)
             S["tjs"][:, :] = jnp.zeros((BBLK, 1), jnp.int32)
             if lengths:
                 S["tlen"][:, :] = jnp.zeros((BBLK, 1), jnp.float32)
+            if traceback:
+                S["tcs"][:, :] = jnp.zeros((BBLK, 1), jnp.int32)
             if semi:
-                for pickc, ci, cj in (((lyv == 1), 0, 1), ((lxv == 1), 1, 0)):
+                for pickc, ci, cj, code in (
+                    ((lyv == 1), 0, 1, 1 + k), ((lxv == 1), 1, 0, 1)
+                ):
                     S["tval"][:, :] = jnp.where(pickc, 0.0, S["tval"][:, :])
                     S["tis"][:, :] = jnp.where(pickc, ci, S["tis"][:, :])
                     S["tjs"][:, :] = jnp.where(pickc, cj, S["tjs"][:, :])
                     if lengths:
                         S["tlen"][:, :] = jnp.where(pickc, 1.0, S["tlen"][:, :])
+                    if traceback:
+                        S["tcs"][:, :] = jnp.where(pickc, code, S["tcs"][:, :])
 
         # ---- producer: band s, lane block i (kernels.fused_scores body) ----
         c_lo = s_id - i_blk
@@ -232,6 +265,8 @@ def wavefront_dp_fused(
                 lm1v = S["lm1"][:, :]
                 lm1s = shift_z(lm1v)
                 b2ls = shift_z(S["r2l"][:, :])
+            if traceback:
+                b2cs = shift_z(S["r2c"][:, :])
             ix1 = [S["ix1"][l] for l in range(k)]
             iy1 = [S["iy1"][l] for l in range(k)]
             if lengths:
@@ -274,8 +309,12 @@ def wavefront_dp_fused(
 
             nm = hrow + b2vs
             nlm = (b2ls + 1.0) if lengths else None
+            mcode = b2cs if traceback else None
             if local:
-                nm = jnp.where(nm < 0.0, 0.0, nm)
+                clamp = nm < 0.0
+                nm = jnp.where(clamp, 0.0, nm)
+                if traceback:
+                    mcode = jnp.where(clamp, PTR_NONE, mcode)
                 if lengths:
                     nlm = jnp.where(nm <= 0.0, 0.0, nlm)
 
@@ -304,10 +343,11 @@ def wavefront_dp_fused(
                         nlix[l] = jnp.where(atd, d_f, jnp.where(at0, 0.0, nlix[l]))
                         nliy[l] = jnp.where(at0, d_f, jnp.where(atd, 0.0, nliy[l]))
 
-            bv, bl = prio(nm, nix, niy,
-                          nlm if lengths else None,
-                          nlix if lengths else None,
-                          nliy if lengths else None)
+            bv, bl, bc = prio(nm, nix, niy,
+                              nlm if lengths else None,
+                              nlix if lengths else None,
+                              nliy if lengths else None,
+                              codes=traceback)
 
             if mode == "global":
                 pick = d == (lxv + lyv)
@@ -317,6 +357,8 @@ def wavefront_dp_fused(
                 S["tjs"][:, :] = jnp.where(pick, lyv, S["tjs"][:, :])
                 if lengths:
                     S["tlen"][:, :] = jnp.where(pick, _pick(bl, mask, NEG), S["tlen"][:, :])
+                if traceback:
+                    S["tcs"][:, :] = jnp.where(pick, _pick(bc, mask, -1), S["tcs"][:, :])
             elif semi:
                 for cand_i, cand_j in ((d - lyv, lyv), (lxv, d - lxv)):
                     ok = (cand_i >= 0) & (cand_i <= lxv) & (cand_j >= 0) & (cand_j <= lyv)
@@ -333,6 +375,8 @@ def wavefront_dp_fused(
                     S["tjs"][:, :] = jnp.where(repl, cand_j, S["tjs"][:, :])
                     if lengths:
                         S["tlen"][:, :] = jnp.where(repl, _pick(bl, mask, NEG), S["tlen"][:, :])
+                    if traceback:
+                        S["tcs"][:, :] = jnp.where(repl, _pick(bc, mask, -1), S["tcs"][:, :])
             else:  # local
                 valid = (lane >= 1) & (lane <= lxv) & (d - lane >= 1) & (d - lane <= lyv)
                 mv = jnp.where(valid, nm, NEG)
@@ -367,6 +411,14 @@ def wavefront_dp_fused(
                 S["lm1"][:, :] = nlm
                 S["r2l"][:, :] = S["r1l"][:, :]
                 S["r1l"][:, :] = bl
+            if traceback:
+                S["r2c"][:, :] = S["r1c"][:, :]
+                S["r1c"][:, :] = bc
+                # int32 arithmetic (Mosaic cannot legalize sub-word
+                # shifts), narrowed to uint8 at the store.
+                bits = (mcode + stay_x.astype(jnp.int32) * 32
+                        + stay_y.astype(jnp.int32) * 64)
+                tb_ref[pl.ds(u, 1)] = bits.astype(jnp.uint8)[None]
             return 0
 
         @pl.when(i_blk == I - 1)
@@ -380,6 +432,9 @@ def wavefront_dp_fused(
             tj_ref[:, :] = S["tjs"][:, :]
             len_ref[:, :] = (
                 S["tlen"][:, :] if lengths else jnp.zeros((BBLK, 1), jnp.float32)
+            )
+            tcode_ref[:, :] = (
+                S["tcs"][:, :] if traceback else jnp.zeros((BBLK, 1), jnp.int32)
             )
 
     f32 = jnp.float32
@@ -398,25 +453,40 @@ def wavefront_dp_fused(
         bspec(),  # lx
         bspec(),  # ly
     ]
-    out_specs = (bspec(), bspec(), bspec(), bspec())
+    if traceback:
+        tb_shape = jax.ShapeDtypeStruct((n_bands * TILE, B_run, LxT), jnp.uint8)
+        tb_spec = pl.BlockSpec(
+            (TILE, BBLK, LxT), lambda b, s_, i: (s_, b, 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        tb_shape = jax.ShapeDtypeStruct((n_bands, 1, 1), jnp.uint8)
+        tb_spec = pl.BlockSpec(
+            (1, 1, 1), lambda b, s_, i: (s_, 0, 0), memory_space=pltpu.VMEM
+        )
+    out_specs = (bspec(), bspec(), bspec(), bspec(), bspec(), tb_spec)
     out_shape = (
         jax.ShapeDtypeStruct((B_run, 1), f32),  # score
         jax.ShapeDtypeStruct((B_run, 1), f32),  # length
         jax.ShapeDtypeStruct((B_run, 1), i32),  # ti
         jax.ShapeDtypeStruct((B_run, 1), i32),  # tj
+        jax.ShapeDtypeStruct((B_run, 1), i32),  # tcode
+        tb_shape,
     )
     scratch = [pltpu.VMEM((TILE, BBLK, LxT), f32)]  # hsb
     for name in state_names:
         if name in ("ix1", "iy1", "lix1", "liy1"):
             scratch.append(pltpu.VMEM((k, BBLK, LxT), f32))
+        elif name in ("r1c", "r2c"):
+            scratch.append(pltpu.VMEM((BBLK, LxT), i32))
         else:
             scratch.append(pltpu.VMEM((BBLK, LxT), f32))
     for name in term_names:
         scratch.append(
-            pltpu.VMEM((BBLK, 1), i32 if name in ("tis", "tjs") else f32)
+            pltpu.VMEM((BBLK, 1), i32 if name in ("tis", "tjs", "tcs") else f32)
         )
 
-    score, length, ti, tj = pl.pallas_call(
+    score, length, ti, tj, tcode, tb = pl.pallas_call(
         kernel,
         grid=(nb, n_bands, I),
         in_specs=in_specs,
@@ -426,10 +496,13 @@ def wavefront_dp_fused(
         interpret=bool(interpret),
     )(cum, tp4, cy4, cy4, invx4, invy4, invy4, lx2, ly2)
 
-    return {
+    out = {
         "score": score[:B, 0],
         "length": length[:B, 0],
         "ti": ti[:B, 0],
         "tj": tj[:B, 0],
-        "tcode": jnp.zeros((B,), i32),
+        "tcode": tcode[:B, 0],
     }
+    if traceback:
+        out["tb"] = tb[: D - 2, :B, :]
+    return out

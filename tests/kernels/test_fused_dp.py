@@ -73,6 +73,48 @@ def test_lane_router_bound():
 
 
 @pytest.mark.parametrize("mode", ["global", "semiglobal", "local"])
+@pytest.mark.parametrize("gs", [(11, 1), (13, 7, 1)])
+def test_fused_dp_traceback_bits_match_scan(mode, gs):
+    rng = np.random.default_rng(len(mode) + len(gs) * 17)
+    cx, ivx, cy, ivy, lx, ly = _rand(rng, 4, 55, 140)
+    s = np.asarray(B62.as_f32())
+    hs = skewed_pair_scores(*map(jnp.asarray, (cx, ivx, cy, ivy, s)))
+    want = wavefront_dp(hs, jnp.asarray(lx), jnp.asarray(ly),
+                        gap_series=gs, mode=mode, traceback=True)
+    got = wavefront_dp_fused(
+        *map(jnp.asarray, (cx, ivx, cy, ivy, s, lx, ly)),
+        gap_series=gs, mode=mode, traceback=True,
+    )
+    for key in ("score", "ti", "tj", "tcode"):
+        np.testing.assert_array_equal(
+            np.asarray(want[key]), np.asarray(got[key]), err_msg=key
+        )
+    tbw, tbg = np.asarray(want["tb"]), np.asarray(got["tb"])
+    np.testing.assert_array_equal(tbw, tbg[:, :, : tbw.shape[2]])
+
+
+@pytest.mark.parametrize("mode", ["global", "semiglobal", "local"])
+def test_batch_driver_traceback_route(mode):
+    """Traceback pallas dispatches route fused (CPU default-on) and stay
+    oracle-exact including full paths."""
+    rng = np.random.default_rng(23)
+
+    def mk(L):
+        return Profile.from_tokens(
+            rng.integers(0, 20, size=L).astype(np.int32), ALPHABET_AA
+        )
+
+    pairs = [(mk(40), mk(35)), (mk(12), mk(50))]
+    got = align_pairs_batched(pairs, B62, (11, 1), mode, traceback=True,
+                              backend="pallas")
+    for (px, py), r in zip(pairs, got):
+        want = align_profiles(px, py, B62, (11, 1), mode)
+        assert r.score == want.score
+        np.testing.assert_array_equal(r.cols_x, want.cols_x)
+        np.testing.assert_array_equal(r.cols_y, want.cols_y)
+
+
+@pytest.mark.parametrize("mode", ["global", "semiglobal", "local"])
 def test_batch_driver_scores_route(mode):
     """Scores-only pallas dispatches route through the fused kernel and
     stay oracle-exact (score AND length)."""

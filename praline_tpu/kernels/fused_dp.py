@@ -55,7 +55,10 @@ def max_lanes_fused(gap_series, lengths: bool = True,
     bytes_per_lane = 4 * BBLK * (TILE + n_rows)
     if traceback:
         bytes_per_lane += 2 * BBLK * TILE  # double-buffered band bit block
-    return int(11e6 // bytes_per_lane)
+    # 9 MB scratch budget of ~16 MB VMEM: the producer's in-kernel
+    # temporaries (h2 + roll stack, ~2 MB) and double-buffered input
+    # tiles need the headroom.
+    return int(9e6 // bytes_per_lane)
 
 
 @functools.partial(

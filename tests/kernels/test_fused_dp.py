@@ -47,6 +47,29 @@ def test_fused_dp_matches_scan(mode, gs):
         )
 
 
+@pytest.mark.parametrize("mode", ["global", "semiglobal", "local"])
+def test_fused_dp_length_one_sides(mode):
+    """lx=1 / ly=1 problems hit the diag-1 border/terminal seeding."""
+    rng = np.random.default_rng(2)
+    cx, ivx, cy, ivy, _, _ = _rand(rng, 4, 20, 20)
+    lx = np.array([1, 1, 20, 7], np.int32)
+    ly = np.array([1, 20, 1, 9], np.int32)
+    s = np.asarray(B62.as_f32())
+    hs = skewed_pair_scores(*map(jnp.asarray, (cx, ivx, cy, ivy, s)))
+    want = wavefront_dp(hs, jnp.asarray(lx), jnp.asarray(ly), mode=mode,
+                        traceback=True)
+    got = wavefront_dp_fused(
+        *map(jnp.asarray, (cx, ivx, cy, ivy, s, lx, ly)), mode=mode,
+        traceback=True,
+    )
+    for key in ("score", "ti", "tj", "tcode"):
+        np.testing.assert_array_equal(
+            np.asarray(want[key]), np.asarray(got[key]), err_msg=key
+        )
+    tbw, tbg = np.asarray(want["tb"]), np.asarray(got["tb"])
+    np.testing.assert_array_equal(tbw, tbg[:, :, : tbw.shape[2]])
+
+
 def test_fused_dp_multiband_and_padding():
     """Several 128-diagonal bands, batch not a multiple of the block."""
     rng = np.random.default_rng(7)

@@ -85,6 +85,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--backend", choices=["auto", "oracle", "xla", "pallas"], default="auto",
         help="compute backend (auto = Pallas kernels on TPU, XLA elsewhere)",
     )
+    p.add_argument(
+        "--platform", choices=["auto", "cpu", "tpu"], default="auto",
+        help="pin the JAX platform (cpu = run without touching the "
+        "accelerator, e.g. when the TPU is unreachable; env vars alone "
+        "cannot override an already-registered plugin)",
+    )
     p.add_argument("--batch-pairs", type=int, default=512, metavar="N",
                    help="pairwise DP problems per batched device dispatch")
     p.add_argument("--devices", type=int, default=None, metavar="N",
@@ -120,6 +126,18 @@ def main(argv: list[str] | None = None) -> int:
     from ..util.metrics import METRICS, configure_logging, enable_profiling, log
 
     configure_logging(args.verbose, json_lines=args.log_json)
+
+    if args.platform != "auto":
+        # Must happen before ANY backend touch (including the cache block
+        # below): jax.config wins over JAX_PLATFORMS when a PJRT plugin
+        # was pre-registered by the interpreter environment.
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", args.platform)
+        except Exception as e:
+            print(f"error: --platform {args.platform}: {e}", file=sys.stderr)
+            return 2
 
     # Persistent XLA compilation cache: kernel shapes recur across runs.
     # TPU-only: that is where compiles are expensive (remote relay), and

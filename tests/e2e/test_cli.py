@@ -38,6 +38,16 @@ def test_cli_clustal_by_extension(in_fasta, tmp_path):
     assert out.read_text().startswith("CLUSTAL")
 
 
+def test_cli_platform_cpu(in_fasta, tmp_path):
+    """--platform cpu pins the JAX platform before any backend touch (the
+    accelerator-unreachable escape hatch; verified live during a real
+    relay outage 2026-08-18)."""
+    out = tmp_path / "out.fasta"
+    rc = main([str(in_fasta), str(out), "--platform", "cpu"])
+    assert rc == 0
+    assert out.read_text().count(">") == 3
+
+
 def test_cli_score_against(in_fasta, tmp_path, capsys):
     out = tmp_path / "out.fasta"
     assert main([str(in_fasta), str(out)]) == 0

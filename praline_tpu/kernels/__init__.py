@@ -5,7 +5,7 @@ not depend on it.
 """
 
 from .batch import PairResult, align_pairs_batched, align_tracksets_batched
-from .scan import wavefront_dp, wavefront_dp_streamed
+from .scan import wavefront_dp, wavefront_dp_checkpointed, wavefront_dp_streamed
 from .scores import skewed_pair_scores
 from .traceback import replay_traceback
 
@@ -16,5 +16,6 @@ __all__ = [
     "replay_traceback",
     "skewed_pair_scores",
     "wavefront_dp",
+    "wavefront_dp_checkpointed",
     "wavefront_dp_streamed",
 ]

@@ -405,7 +405,28 @@ CONFIGS = {
 
 
 if __name__ == "__main__":
+    import os
     import sys
+    import threading
 
     which = sys.argv[1] if len(sys.argv) > 1 else "cells"
+
+    def _watchdog():
+        # The axon TPU relay has outage episodes during which any device
+        # touch blocks forever in native code (observed 2026-08-18: >4 h;
+        # a SIGALRM handler never runs because the main thread stays
+        # inside the C call).  Emit an honest, machine-readable failure
+        # line from this thread instead of hanging the caller.
+        print(json.dumps({
+            "metric": f"bench_{which}", "value": 0.0, "unit": "error",
+            "vs_baseline": 0.0,
+            "error": "timeout: TPU relay unreachable (outage episode)",
+        }))
+        sys.stdout.flush()
+        os._exit(1)
+
+    timer = threading.Timer(1800.0, _watchdog)
+    timer.daemon = True
+    timer.start()
     print(json.dumps(CONFIGS[which]()))
+    timer.cancel()

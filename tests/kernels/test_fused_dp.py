@@ -84,6 +84,36 @@ def test_fused_dp_multiband_and_padding():
         )
 
 
+def test_gate_env_override(monkeypatch):
+    from praline_tpu.kernels.batch import _fused_dp_enabled
+
+    monkeypatch.setenv("PRALINE_FUSED_DP", "0")
+    assert _fused_dp_enabled() is False
+    monkeypatch.setenv("PRALINE_FUSED_DP", "1")
+    assert _fused_dp_enabled() is True
+    monkeypatch.delenv("PRALINE_FUSED_DP")
+    assert _fused_dp_enabled() is True  # CPU test session default: on
+
+
+def test_gate_off_two_kernel_parity(monkeypatch):
+    """With the gate forced off, the two-kernel route must serve the same
+    results (the fallback stays live while the fused default rolls out)."""
+    monkeypatch.setenv("PRALINE_FUSED_DP", "0")
+    rng = np.random.default_rng(3)
+
+    def mk(L):
+        return Profile.from_tokens(
+            rng.integers(0, 20, size=L).astype(np.int32), ALPHABET_AA
+        )
+
+    pairs = [(mk(30), mk(25))]
+    got = align_pairs_batched(pairs, B62, (11, 1), "global", traceback=True,
+                              backend="pallas")
+    want = align_profiles(pairs[0][0], pairs[0][1], B62, (11, 1), "global")
+    assert got[0].score == want.score
+    np.testing.assert_array_equal(got[0].cols_x, want.cols_x)
+
+
 def test_lane_router_bound():
     assert 1024 <= max_lanes_fused((11, 1)) <= 8192
     rng = np.random.default_rng(0)

@@ -24,7 +24,7 @@ import time
 BASELINE_CELLS_PER_S = 1.0e6
 
 
-def bench(B: int = 512, L: int = 1023, iters: int = 8, backend: str = "auto") -> dict:
+def bench(B: int = 1024, L: int = 1023, iters: int = 8, backend: str = "auto") -> dict:
     import numpy as np
     import jax
     import jax.numpy as jnp

@@ -214,19 +214,36 @@ def _lane_cap(gap_series, traceback) -> int:
 # C++ kernel on the host (exact-parity twin) instead of the device.
 HS_BYTES_BUDGET = 1 << 30
 TB_BYTES_BUDGET = 1 << 31
-# Whole-dispatch HBM budget: batch sizes shrink (snapped to the pow4
+# Whole-dispatch HBM budget: batch sizes shrink (snapped to the batch
 # grid, so no new executable shapes) until hs/tb for the dispatch fit.
-DISPATCH_BYTES_BUDGET = 6 << 30
+# 11 GiB of a v5e's 16 GiB HBM: wide enough for the B=1024, L~1023
+# dispatch (hs 8.6 GB + tb bits 2.1 GB transient — validated on chip),
+# leaving headroom for operands and XLA workspace.  Wider dispatches
+# matter on remote runtimes where each dispatch costs ~80 ms of relay
+# round-trip regardless of size (measured: B=512 -> 2.5e9 cells/s,
+# B=1024 -> 3.4e9 on the same workload).
+DISPATCH_BYTES_BUDGET = 11 << 30
+
+
+def _grid_step(b: int) -> int:
+    """Next batch-grid size: powers of four to 512, then powers of two.
+
+    The coarse pow4 grid bounds executable-shape variants for the ragged
+    small-batch tail (each new executable costs seconds of upload/init on
+    remote runtimes); pow2 steps at the top end let the widest dispatches
+    land near the HBM budget, where dispatch-latency amortization pays.
+    """
+    return b * 4 if b < 512 else b * 2
 
 
 def _snap_batch(cap: int, batch_pairs: int) -> int:
-    """Largest pow4-grid batch (32, 128, 512, ...) <= min(cap, batch_pairs);
-    below the grid floor, the exact cap."""
+    """Largest grid batch (32, 128, 512, 1024, 2048, ...) <= min(cap,
+    batch_pairs); below the grid floor, the exact cap."""
     if cap < 32:
         return max(1, min(cap, batch_pairs))
     b = 32
-    while b * 4 <= min(cap, batch_pairs):
-        b *= 4
+    while _grid_step(b) <= min(cap, batch_pairs):
+        b = _grid_step(b)
     return min(b, batch_pairs)
 
 
@@ -680,16 +697,16 @@ def align_pairs_batched(
             chunk = idxs[start : start + eff_batch]
             pxs = [pairs[i][0] for i in chunk]
             pys = [pairs[i][1] for i in chunk]
-            # Pad the batch to {32, 128, 512, ...} (powers of four with a
-            # floor of 32), bounding compiled-shape variants to ~3 per
-            # bucket — each new executable costs seconds of upload/init on
-            # remote runtimes, which dominates small-MSA wall clock.  Also
+            # Pad the batch to the {32, 128, 512, 1024, ...} grid
+            # (_grid_step), bounding compiled-shape variants per bucket —
+            # each new executable costs seconds of upload/init on remote
+            # runtimes, which dominates small-MSA wall clock.  Also
             # round to a multiple of the mesh's pair axis when sharded.
             target = 32
             while target < len(chunk):
-                target *= 4
+                target = _grid_step(target)
             target = min(target, eff_batch)
-            if target < len(chunk):  # eff_batch below the pow4 grid
+            if target < len(chunk):  # eff_batch below the grid
                 target = len(chunk)
             if mesh is not None:
                 n_dev = int(np.prod(mesh.devices.shape))

@@ -141,7 +141,6 @@ def replay_moves(
     if steps is None:
         steps = T + 1
 
-    tbf = tb.reshape(-1)
     bidx = jnp.arange(B, dtype=jnp.int32)
 
     st0, lvl0 = _walk_init(tcode, k)
@@ -149,8 +148,13 @@ def replay_moves(
     def step(carry, _):
         i, j, st, lvl, done = carry
         d = i + j
-        flat = (jnp.clip(d - 2, 0, T - 1) * B + bidx) * Lp + jnp.clip(i, 0, Lp - 1)
-        bits = tbf[flat].astype(jnp.int32)
+        # 3-D gather, NOT a flattened index: a wide dispatch's tb tensor can
+        # exceed 2**31 elements (e.g. 2048 x 1024 x 1024 at B=1024, L=1023),
+        # where both the flat int32 index arithmetic and jnp's axis-size
+        # constant for negative-index wrapping overflow int32.
+        bits = tb[
+            jnp.clip(d - 2, 0, T - 1), bidx, jnp.clip(i, 0, Lp - 1)
+        ].astype(jnp.int32)
         return _walk_step(bits, i, j, st, lvl, done, k)
 
     init = (

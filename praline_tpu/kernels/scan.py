@@ -644,7 +644,6 @@ def _wavefront(hs, hrow_fn, D, B, Lp, lx, ly, gap_series, mode, traceback,
             ds_chunk = d0 + jnp.arange(R, dtype=jnp.int32)
             hs_chunk = jax.vmap(hrow_fn)(ds_chunk)
             _, bits = jax.lax.scan(step, ck, (ds_chunk, hs_chunk))
-            bitsf = bits.reshape(-1)
 
             def rstep(c, _):
                 i, j, st, lvl, done = c
@@ -652,8 +651,11 @@ def _wavefront(hs, hrow_fn, D, B, Lp, lx, ly, gap_series, mode, traceback,
                 blk = (d - 2) // R  # floor div: border moves below d=2 -> <0
                 inwin = (blk == b) | ((d - 2 < 0) & (b == 0))
                 r = jnp.clip(d - 2 - b * R, 0, R - 1)
-                cell = bitsf[
-                    (r * B + bidx) * Lp + jnp.clip(i, 0, Lp - 1)
+                # 3-D gather as in replay.replay_moves: flat int32 index
+                # arithmetic over R*B*Lp can overflow 2**31 once budget
+                # tuning widens the dispatch (ADVICE r2).
+                cell = bits[
+                    r, bidx, jnp.clip(i, 0, Lp - 1)
                 ].astype(jnp.int32)
                 (ni, nj, nst, nlvl, ndone), mv = _walk_step(
                     cell, i, j, st, lvl, done, k

@@ -9,6 +9,7 @@ from praline_tpu.kernels.batch import (
     DISPATCH_BYTES_BUDGET,
     _grid_step,
     _snap_batch,
+    per_problem_bytes,
 )
 
 
@@ -39,12 +40,53 @@ def test_snap_batch_capped_by_pairs():
 
 
 def test_budget_admits_the_headline_dispatch():
-    # B=1024 at L=1023 f32: hs (2047 diagonals + tile pad) x Lp x 4 bytes
-    # per problem, plus tb bits in traceback mode — the bench's headline
-    # shape must fit the budget or bench and production diverge.
-    bx = by = 1023
-    Lp_g = 1024
-    hs_bytes = (bx + by + 1) * Lp_g * 4
-    tb_bytes = (bx + by - 1) * Lp_g
+    # B=1024 at L=1023 f32: the PRODUCTION per-problem estimate (shared
+    # helper, so this cannot drift from the dispatcher) must admit the
+    # bench's headline shape or bench and production diverge.
+    hs_bytes, tb_bytes = per_problem_bytes(1023, 1023)
     per_prob = hs_bytes + tb_bytes
     assert _snap_batch(DISPATCH_BYTES_BUDGET // per_prob, 1 << 20) >= 1024
+
+
+def test_grid_boundary_dispatch_matches_oracle(monkeypatch):
+    """End-to-end dispatch that CROSSES a batch-grid boundary (ADVICE r2):
+    a monkeypatched dispatch budget caps eff_batch at 32, so 40 ragged
+    pairs run as one full 32-chunk plus an 8-chunk padded back up to 32;
+    an uncapped run pads the same pairs to one 128-chunk.  Both must be
+    bit-equal to the oracle — grid padding can never leak into results."""
+    import numpy as np
+
+    from praline_tpu import ALPHABET_AA, builtin_score_matrix
+    from praline_tpu.kernels import align_pairs_batched
+    from praline_tpu.kernels import batch as batch_mod
+    from praline_tpu.oracle import align_profiles
+    from praline_tpu.types import Profile
+
+    rng = np.random.default_rng(7)
+    m = builtin_score_matrix("blosum62")
+
+    def one(L):
+        return Profile.from_tokens(
+            rng.integers(0, 20, size=L).astype(np.int32), ALPHABET_AA
+        )
+
+    pairs = [(one(int(rng.integers(5, 64))), one(int(rng.integers(5, 64))))
+             for _ in range(40)]
+    hs_bytes, _ = per_problem_bytes(63, 63)
+    assert 32 * hs_bytes <= 1_100_000 < 128 * hs_bytes  # cap lands mid-grid
+    monkeypatch.setattr(batch_mod, "DISPATCH_BYTES_BUDGET", 1_100_000)
+    capped = align_pairs_batched(
+        pairs, m, (11, 1), "global", traceback=True, bucket_sizes=(63,),
+        batch_pairs=1024,
+    )
+    monkeypatch.undo()
+    wide = align_pairs_batched(
+        pairs, m, (11, 1), "global", traceback=True, bucket_sizes=(63,),
+        batch_pairs=1024,
+    )
+    for (px, py), got, ref in zip(pairs, capped, wide):
+        want = align_profiles(px, py, m, (11, 1), "global")
+        for r in (got, ref):
+            assert r.score == want.score
+            np.testing.assert_array_equal(r.cols_x, want.cols_x)
+            np.testing.assert_array_equal(r.cols_y, want.cols_y)

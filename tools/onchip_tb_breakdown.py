@@ -7,10 +7,11 @@ Times, on the same merge/preprofile-shaped workload:
 
 Decides where the 5x scores-vs-traceback throughput gap lives.
 """
+import pathlib
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 import numpy as np
 import jax
@@ -77,7 +78,7 @@ def tb_materialize(cx, ivx, cy, ivy, s, lx, ly):
     return out["score"], out["tb"]
 
 
-def timeit(fn, label, pull_all=False):
+def timeit(fn, label):
     # warmup/compile
     r = fn(*sets[0])
     jax.block_until_ready(r)
@@ -98,5 +99,6 @@ def timeit(fn, label, pull_all=False):
 t1 = timeit(scores_only, "scores-only")
 t2 = timeit(tb_no_replay, "tb-bits (sum)")
 t3 = timeit(tb_full, "tb+replay")
-t4 = timeit(tb_materialize, "tb-bits (pull none)")
-print(f"bit-emission overhead: {(t2-t1)*1e3:.2f} ms; replay overhead: {(t3-t2)*1e3:.2f} ms")
+t4 = timeit(tb_materialize, "tb-bits (mat.)")
+print(f"bit-emission overhead: {(t2-t1)*1e3:.2f} ms; replay overhead: "
+      f"{(t3-t2)*1e3:.2f} ms; tb materialize (no replay): {(t4-t1)*1e3:.2f} ms")

@@ -92,6 +92,13 @@ def enable_profiling(trace_dir: str) -> None:
     _trace_dir = trace_dir
 
 
+def disable_profiling() -> None:
+    """Disarm tracing (public counterpart of :func:`enable_profiling`, so
+    tests and embedders never reach into the module globals)."""
+    global _trace_dir
+    _trace_dir = None
+
+
 @contextlib.contextmanager
 def maybe_trace(name: str):
     """Profile the enclosed scope when a trace dir is configured.

@@ -175,10 +175,10 @@ def test_cli_profile_dir_nonempty(in_fasta, tmp_path):
     assert rc == 0
     files = [p for p in prof.rglob("*") if p.is_file()]
     assert files, "profile dir is empty — jax.profiler trace was not written"
-    # disarm the module-global so later tests don't keep tracing
-    from praline_tpu.util import metrics
+    # disarm so later tests don't keep tracing (public API, VERDICT r2)
+    from praline_tpu.util.metrics import disable_profiling
 
-    metrics._trace_dir = None
+    disable_profiling()
 
 
 def test_cli_fasta_wrap_honored(in_fasta, tmp_path):

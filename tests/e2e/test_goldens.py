@@ -81,3 +81,29 @@ def test_dna8_golden_byte_equal():
     assert format_alignment_clustal(aln) == (
         TESTDATA / "dna8.default.golden.aln"
     ).read_text()
+
+
+FAM64_TAGS = ("default", "semi_series3")
+
+
+@pytest.mark.parametrize("tag", FAM64_TAGS)
+def test_family64_golden_byte_equal(tag):
+    """Ragged 64-leaf family (VERDICT r2 item 10): oracle-generated goldens
+    via tools/gen_goldens.py; exercises deep merge levels and wide
+    all-pairs batches."""
+    cfgs = {
+        "default": PralineConfig(),
+        "semi_series3": PralineConfig(
+            gap_series=(12, 6, 1), merge_mode="semiglobal", linkage="average"
+        ),
+    }
+    seqs = load_sequence_fasta(TESTDATA / "family64.fasta", ALPHABET_AA)
+    assert len(seqs) == 64
+    assert len({s.length for s in seqs}) > 8, "family must be ragged"
+    aln = msa_align(seqs, B62, cfgs[tag])
+    assert format_alignment_fasta(aln) == (
+        TESTDATA / f"family64.{tag}.golden.fasta"
+    ).read_text()
+    assert format_alignment_clustal(aln) == (
+        TESTDATA / f"family64.{tag}.golden.aln"
+    ).read_text()

@@ -34,6 +34,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .scan import _gap_prefix
 from .fused_scores import HIGHEST, TILE, _pack_operands
+from .pallas_dp import _collapse
 
 NEG = np.float32(-1.0e30)
 BBLK = 8  # problems per batch block (sublane-aligned f32 tiles)
@@ -49,9 +50,10 @@ def max_lanes_fused(gap_series, lengths: bool = True,
     (BBLK, LxT) f32 (+ int32 code carries and the uint8 band bit block in
     traceback mode).  The batch driver treats this as a router bound."""
     k = len(gap_series)
-    n_rows = 3 + 2 * k + ((3 + 2 * k) if lengths else 0)
+    collapsed, kc = _collapse(k)
+    n_rows = 3 + 2 * kc + ((3 + 2 * kc) if lengths else 0)
     if traceback:
-        n_rows += 2  # r1c, r2c
+        n_rows += 2 + (2 if collapsed else 0)  # r1c, r2c (+psx/psy)
     bytes_per_lane = 4 * BBLK * (TILE + n_rows)
     if traceback:
         bytes_per_lane += 2 * BBLK * TILE  # double-buffered band bit block
@@ -95,6 +97,7 @@ def wavefront_dp_fused(
     if mode not in ("global", "semiglobal", "local"):
         raise ValueError(f"unknown mode {mode!r}")
     g = [np.float32(x) for x in gap_series]
+    collapsed, kc = _collapse(k)
     border_m = np.float32(0.0 if local else NEG)
 
     B, Lx, A = cx.shape
@@ -132,28 +135,35 @@ def wavefront_dp_fused(
         state_names += ["lm1", "r1l", "r2l", "lix1", "liy1"]
     if traceback:
         state_names += ["r1c", "r2c"]
+        if collapsed:
+            state_names += ["psx", "psy"]
     term_names = ["tval", "tis", "tjs"] + (["tlen"] if lengths else [])
     if traceback:
         term_names += ["tcs"]
 
-    def prio(m, ixs, iys, lm=None, lixs=None, liys=None, codes=False):
+    def prio(m, ixs, iys, lm=None, lixs=None, liys=None, codes=False,
+             codes_x=None, codes_y=None):
+        if codes_x is None:
+            codes_x = [1 + l for l in range(len(ixs))]
+        if codes_y is None:
+            codes_y = [1 + k + l for l in range(len(iys))]
         v = m
         ln = lm
         c = jnp.zeros((BBLK, LxT), jnp.int32) if codes else None
-        for l in range(k):
+        for l in range(len(ixs)):
             b = ixs[l] > v
             v = jnp.where(b, ixs[l], v)
             if ln is not None:
                 ln = jnp.where(b, lixs[l], ln)
             if codes:
-                c = jnp.where(b, 1 + l, c)
-        for l in range(k):
+                c = jnp.where(b, codes_x[l], c)
+        for l in range(len(iys)):
             b = iys[l] > v
             v = jnp.where(b, iys[l], v)
             if ln is not None:
                 ln = jnp.where(b, liys[l], ln)
             if codes:
-                c = jnp.where(b, 1 + k + l, c)
+                c = jnp.where(b, codes_y[l], c)
         return v, ln, c
 
     def _pick(v, mask, fill):
@@ -177,17 +187,17 @@ def wavefront_dp_fused(
         def _init():
             m1v = jnp.where((lane == 0) | (lane == 1), border_m, negs)
             S["m1"][:, :] = m1v
-            ix0 = [negs] * k
-            iy0 = [negs] * k
-            lx0 = [zeros] * k
-            ly0 = [zeros] * k
+            ix0 = [negs] * kc
+            iy0 = [negs] * kc
+            lx0 = [zeros] * kc
+            ly0 = [zeros] * kc
             if not local:
                 bval = np.float32(0.0) if semi else -cum_ref[0, 1]
                 ix0[0] = jnp.where(lane == 1, bval, negs)
                 iy0[0] = jnp.where(lane == 0, bval, negs)
                 lx0[0] = jnp.where(lane == 1, 1.0, zeros)
                 ly0[0] = jnp.where(lane == 0, 1.0, zeros)
-            for l in range(k):
+            for l in range(kc):
                 S["ix1"][l] = ix0[l]
                 S["iy1"][l] = iy0[l]
                 if lengths:
@@ -207,6 +217,9 @@ def wavefront_dp_fused(
             if traceback:
                 S["r2c"][:, :] = jnp.zeros((BBLK, LxT), jnp.int32)
                 S["r1c"][:, :] = c
+                if collapsed:  # d=1 border runs are level-1: stay = 0
+                    S["psx"][:, :] = jnp.zeros((BBLK, LxT), jnp.int32)
+                    S["psy"][:, :] = jnp.zeros((BBLK, LxT), jnp.int32)
             S["tval"][:, :] = jnp.full((BBLK, 1), NEG, jnp.float32)
             S["tis"][:, :] = jnp.zeros((BBLK, 1), jnp.int32)
             S["tjs"][:, :] = jnp.zeros((BBLK, 1), jnp.int32)
@@ -270,16 +283,34 @@ def wavefront_dp_fused(
                 b2ls = shift_z(S["r2l"][:, :])
             if traceback:
                 b2cs = shift_z(S["r2c"][:, :])
-            ix1 = [S["ix1"][l] for l in range(k)]
-            iy1 = [S["iy1"][l] for l in range(k)]
+            ix1 = [S["ix1"][l] for l in range(kc)]
+            iy1 = [S["iy1"][l] for l in range(kc)]
             if lengths:
-                lix1 = [S["lix1"][l] for l in range(k)]
-                liy1 = [S["liy1"][l] for l in range(k)]
-            nix = [None] * k
-            niy = [None] * k
-            nlix = [None] * k
-            nliy = [None] * k
-            if k == 1:
+                lix1 = [S["lix1"][l] for l in range(kc)]
+                liy1 = [S["liy1"][l] for l in range(kc)]
+            if traceback and collapsed:
+                psxs = shift_z(S["psx"][:, :])  # prev stay, cell (i-1, j)
+                psyv = S["psy"][:, :]  # prev stay, cell (i, j-1)
+            nix = [None] * kc
+            niy = [None] * kc
+            nlix = [None] * kc
+            nliy = [None] * kc
+            if collapsed:
+                # 3-state collapse (kernels.scan collapse note)
+                ix1s = shift_v(ix1[0])
+                open_x = m1s - g[0]
+                ext_x = ix1s - g[1]
+                sx = ext_x > open_x
+                nix[0] = jnp.where(sx, ext_x, open_x)
+                open_y = m1v - g[0]
+                ext_y = iy1[0] - g[1]
+                sy = ext_y > open_y
+                niy[0] = jnp.where(sy, ext_y, open_y)
+                if lengths:
+                    lix1s = shift_z(lix1[0])
+                    nlix[0] = jnp.where(sx, lix1s, lm1s) + 1.0
+                    nliy[0] = jnp.where(sy, liy1[0], lm1v) + 1.0
+            elif k == 1:
                 ix1s = shift_v(ix1[0])
                 stay_x = ix1s > m1s
                 nix[0] = jnp.where(stay_x, ix1s, m1s) - g[0]
@@ -326,15 +357,24 @@ def wavefront_dp_fused(
             nm = jnp.where(at0 | atd, border_m, nm)
             if lengths:
                 nlm = jnp.where(at0 | atd, 0.0, nlm)
-            lvl_d = jnp.minimum(d, k)
             d_f = d.astype(jnp.float32)
-            for l in range(k):
+            if not collapsed:
+                lvl_d = jnp.minimum(d, k)
+            for l in range(kc):
                 if local:
                     nix[l] = jnp.where(at0 | atd, NEG, nix[l])
                     niy[l] = jnp.where(at0 | atd, NEG, niy[l])
                     if lengths:
                         nlix[l] = jnp.where(at0 | atd, 0.0, nlix[l])
                         nliy[l] = jnp.where(at0 | atd, 0.0, nliy[l])
+                elif collapsed:
+                    # steps start at d=2: border level is always 2 (=k)
+                    bx = np.float32(0.0) if semi else -cum_ref[0, d]
+                    nix[0] = jnp.where(atd, bx, jnp.where(at0, NEG, nix[0]))
+                    niy[0] = jnp.where(at0, bx, jnp.where(atd, NEG, niy[0]))
+                    if lengths:
+                        nlix[0] = jnp.where(atd, d_f, jnp.where(at0, 0.0, nlix[0]))
+                        nliy[0] = jnp.where(at0, d_f, jnp.where(atd, 0.0, nliy[0]))
                 else:
                     bx = np.float32(0.0) if semi else -cum_ref[0, d]
                     on_lvl = lvl_d == l + 1
@@ -346,11 +386,28 @@ def wavefront_dp_fused(
                         nlix[l] = jnp.where(atd, d_f, jnp.where(at0, 0.0, nlix[l]))
                         nliy[l] = jnp.where(at0, d_f, jnp.where(atd, 0.0, nliy[l]))
 
+            codes_x = codes_y = None
+            if collapsed:
+                if local:
+                    border = at0 | atd
+                    sx = sx & ~border
+                    sy = sy & ~border
+                else:
+                    # boolean algebra, not where(pred, True, ...): Mosaic
+                    # cannot legalize the i8->i1 truncation the scalar-True
+                    # select lowers to.
+                    sx = atd | (sx & ~at0)
+                    sy = at0 | (sy & ~atd)
+                sxi = sx.astype(jnp.int32)
+                syi = sy.astype(jnp.int32)
+                if traceback:
+                    codes_x, codes_y = [1 + sxi], [1 + k + syi]
             bv, bl, bc = prio(nm, nix, niy,
                               nlm if lengths else None,
                               nlix if lengths else None,
                               nliy if lengths else None,
-                              codes=traceback)
+                              codes=traceback,
+                              codes_x=codes_x, codes_y=codes_y)
 
             if mode == "global":
                 pick = d == (lxv + lyv)
@@ -402,7 +459,7 @@ def wavefront_dp_fused(
                     S["tlen"][:, :] = jnp.where(repl, step_len, S["tlen"][:, :])
 
             S["m1"][:, :] = nm
-            for l in range(k):
+            for l in range(kc):
                 S["ix1"][l] = nix[l]
                 S["iy1"][l] = niy[l]
                 if lengths:
@@ -419,8 +476,15 @@ def wavefront_dp_fused(
                 S["r1c"][:, :] = bc
                 # int32 arithmetic (Mosaic cannot legalize sub-word
                 # shifts), narrowed to uint8 at the store.
-                bits = (mcode + stay_x.astype(jnp.int32) * 32
-                        + stay_y.astype(jnp.int32) * 64)
+                if collapsed:
+                    # bit 5 = prev diagonal's x-stay shifted; bit 6 =
+                    # prev y-stay unshifted (kernels.scan collapse note).
+                    bits = mcode + psxs * 32 + psyv * 64
+                    S["psx"][:, :] = sxi
+                    S["psy"][:, :] = syi
+                else:
+                    bits = (mcode + stay_x.astype(jnp.int32) * 32
+                            + stay_y.astype(jnp.int32) * 64)
                 tb_ref[pl.ds(u, 1)] = bits.astype(jnp.uint8)[None]
             return 0
 
@@ -479,8 +543,8 @@ def wavefront_dp_fused(
     scratch = [pltpu.VMEM((TILE, BBLK, LxT), f32)]  # hsb
     for name in state_names:
         if name in ("ix1", "iy1", "lix1", "liy1"):
-            scratch.append(pltpu.VMEM((k, BBLK, LxT), f32))
-        elif name in ("r1c", "r2c"):
+            scratch.append(pltpu.VMEM((kc, BBLK, LxT), f32))
+        elif name in ("r1c", "r2c", "psx", "psy"):
             scratch.append(pltpu.VMEM((BBLK, LxT), i32))
         else:
             scratch.append(pltpu.VMEM((BBLK, LxT), f32))

@@ -43,25 +43,37 @@ def _pick(v, mask, fill):
     return jnp.max(jnp.where(mask, v, fill), axis=1, keepdims=True)
 
 
+def _collapse(k: int) -> tuple[bool, int]:
+    """k=2 collapses to classic 3-state Gotoh (one max-of-levels row per
+    side) with bit-identical outputs — see the collapse note in
+    kernels.scan._wavefront.  Returns (collapsed, carried level count)."""
+    return k == 2, 1 if k == 2 else k
+
+
 def _scratch_names(k: int, lengths: bool, traceback: bool) -> list[str]:
     names = ["m1", "r1v", "r2v", "tval", "tis", "tjs", "ix1", "iy1"]
     if lengths:
         names += ["lm1", "r1l", "r2l", "tlen", "lix1", "liy1"]
     if traceback:
         names += ["r1c", "r2c", "tcs"]
+        if _collapse(k)[0]:
+            names += ["psx", "psy"]  # previous diagonal's stay bits
     return names
 
 
 def _carry_rows(k, lengths, traceback):
     """(f32 row names, i32 row names, f32 terminal names, i32 terminal names)
     for chunked carry I/O; order is the pack layout."""
+    collapsed, kc = _collapse(k)
     f32_rows = ["m1", "r1v", "r2v"]
     if lengths:
         f32_rows += ["lm1", "r1l", "r2l"]
-    f32_rows += [f"ix1_{l}" for l in range(k)] + [f"iy1_{l}" for l in range(k)]
+    f32_rows += [f"ix1_{l}" for l in range(kc)] + [f"iy1_{l}" for l in range(kc)]
     if lengths:
-        f32_rows += [f"lix1_{l}" for l in range(k)] + [f"liy1_{l}" for l in range(k)]
+        f32_rows += [f"lix1_{l}" for l in range(kc)] + [f"liy1_{l}" for l in range(kc)]
     i32_rows = ["r1c", "r2c"] if traceback else []
+    if traceback and collapsed:
+        i32_rows += ["psx", "psy"]
     f32_terms = ["tval"] + (["tlen"] if lengths else [])
     i32_terms = ["tis", "tjs"] + (["tcs"] if traceback else [])
     return f32_rows, i32_rows, f32_terms, i32_terms
@@ -70,30 +82,36 @@ def _carry_rows(k, lengths, traceback):
 def _make_kernel(grid_d, Bblk, Lp, k, gap_series, mode, lengths, traceback,
                  quantized, unroll, chunked, first, d_base):
     g = [np.float32(x) for x in gap_series]
+    collapsed, kc = _collapse(k)
     local = mode == "local"
     semi = mode == "semiglobal"
     border_m = np.float32(0.0 if local else NEG)
     names = _scratch_names(k, lengths, traceback)
 
-    def prio(m, ixs, iys, lm=None, lixs=None, liys=None, codes=False):
+    def prio(m, ixs, iys, lm=None, lixs=None, liys=None, codes=False,
+             codes_x=None, codes_y=None):
         """Best state with M > Ix(asc) > Iy(asc) tie preference."""
+        if codes_x is None:
+            codes_x = [1 + l for l in range(len(ixs))]
+        if codes_y is None:
+            codes_y = [1 + k + l for l in range(len(iys))]
         v = m
         ln = lm
         c = jnp.zeros((Bblk, Lp), jnp.int32) if codes else None
-        for l in range(k):
+        for l in range(len(ixs)):
             b = ixs[l] > v
             v = jnp.where(b, ixs[l], v)
             if ln is not None:
                 ln = jnp.where(b, lixs[l], ln)
             if codes:
-                c = jnp.where(b, 1 + l, c)
-        for l in range(k):
+                c = jnp.where(b, codes_x[l], c)
+        for l in range(len(iys)):
             b = iys[l] > v
             v = jnp.where(b, iys[l], v)
             if ln is not None:
                 ln = jnp.where(b, liys[l], ln)
             if codes:
-                c = jnp.where(b, 1 + k + l, c)
+                c = jnp.where(b, codes_y[l], c)
         return v, ln, c
 
     f32_rows, i32_rows, f32_terms, i32_terms = _carry_rows(k, lengths, traceback)
@@ -128,17 +146,17 @@ def _make_kernel(grid_d, Bblk, Lp, k, gap_series, mode, lengths, traceback,
             def _init():
                 m1v = jnp.where((lane == 0) | (lane == 1), border_m, negs)
                 S["m1"][:, :] = m1v
-                ix0 = [negs] * k
-                iy0 = [negs] * k
-                lx0 = [zeros] * k
-                ly0 = [zeros] * k
+                ix0 = [negs] * kc
+                iy0 = [negs] * kc
+                lx0 = [zeros] * kc
+                ly0 = [zeros] * kc
                 if not local:
                     bval = np.float32(0.0) if semi else -cum_ref[0, 1]
                     ix0[0] = jnp.where(lane == 1, bval, negs)
                     iy0[0] = jnp.where(lane == 0, bval, negs)
                     lx0[0] = jnp.where(lane == 1, 1.0, zeros)
                     ly0[0] = jnp.where(lane == 0, 1.0, zeros)
-                for l in range(k):
+                for l in range(kc):
                     S["ix1"][l] = ix0[l]
                     S["iy1"][l] = iy0[l]
                     if lengths:
@@ -158,6 +176,9 @@ def _make_kernel(grid_d, Bblk, Lp, k, gap_series, mode, lengths, traceback,
                 if traceback:
                     S["r2c"][:, :] = jnp.zeros((Bblk, Lp), jnp.int32)
                     S["r1c"][:, :] = c
+                    if collapsed:  # d=1 border runs are level-1: stay = 0
+                        S["psx"][:, :] = jnp.zeros((Bblk, Lp), jnp.int32)
+                        S["psy"][:, :] = jnp.zeros((Bblk, Lp), jnp.int32)
                 # terminal trackers
                 S["tval"][:, :] = jnp.full((Bblk, 1), NEG, jnp.float32)
                 S["tis"][:, :] = jnp.zeros((Bblk, 1), jnp.int32)
@@ -222,16 +243,36 @@ def _make_kernel(grid_d, Bblk, Lp, k, gap_series, mode, lengths, traceback,
             if traceback:
                 b2cs = shift_z(S["r2c"][:, :])
 
-            ix1 = [S["ix1"][l] for l in range(k)]
-            iy1 = [S["iy1"][l] for l in range(k)]
+            ix1 = [S["ix1"][l] for l in range(kc)]
+            iy1 = [S["iy1"][l] for l in range(kc)]
             if lengths:
-                lix1 = [S["lix1"][l] for l in range(k)]
-                liy1 = [S["liy1"][l] for l in range(k)]
-            nix = [None] * k
-            niy = [None] * k
-            nlix = [None] * k
-            nliy = [None] * k
-            if k == 1:
+                lix1 = [S["lix1"][l] for l in range(kc)]
+                liy1 = [S["liy1"][l] for l in range(kc)]
+            if traceback and collapsed:
+                psxs = shift_z(S["psx"][:, :])  # prev stay, cell (i-1, j)
+                psyv = S["psy"][:, :]  # prev stay, cell (i, j-1)
+            nix = [None] * kc
+            niy = [None] * kc
+            nlix = [None] * kc
+            nliy = [None] * kc
+            if collapsed:
+                # 3-state collapse (kernels.scan collapse note): one
+                # max-of-levels row per side; sx/sy are the chosen levels
+                # minus one AND the next step's bit-5/6 stay values.
+                ix1s = shift_v(ix1[0])
+                open_x = m1s - g[0]
+                ext_x = ix1s - g[1]
+                sx = ext_x > open_x
+                nix[0] = jnp.where(sx, ext_x, open_x)
+                open_y = m1v - g[0]
+                ext_y = iy1[0] - g[1]
+                sy = ext_y > open_y
+                niy[0] = jnp.where(sy, ext_y, open_y)
+                if lengths:
+                    lix1s = shift_z(lix1[0])
+                    nlix[0] = jnp.where(sx, lix1s, lm1s) + 1.0
+                    nliy[0] = jnp.where(sy, liy1[0], lm1v) + 1.0
+            elif k == 1:
                 ix1s = shift_v(ix1[0])
                 stay_x = ix1s > m1s
                 nix[0] = jnp.where(stay_x, ix1s, m1s) - g[0]
@@ -279,15 +320,24 @@ def _make_kernel(grid_d, Bblk, Lp, k, gap_series, mode, lengths, traceback,
             nm = jnp.where(at0 | atd, border_m, nm)
             if lengths:
                 nlm = jnp.where(at0 | atd, 0.0, nlm)
-            lvl_d = jnp.minimum(d, k)
             d_f = d.astype(jnp.float32)
-            for l in range(k):
+            if not collapsed:
+                lvl_d = jnp.minimum(d, k)
+            for l in range(kc):
                 if local:
                     nix[l] = jnp.where(at0 | atd, NEG, nix[l])
                     niy[l] = jnp.where(at0 | atd, NEG, niy[l])
                     if lengths:
                         nlix[l] = jnp.where(at0 | atd, 0.0, nlix[l])
                         nliy[l] = jnp.where(at0 | atd, 0.0, nliy[l])
+                elif collapsed:
+                    # steps start at d=2: border run level is always 2 (=k)
+                    bx = np.float32(0.0) if semi else -cum_ref[0, d]
+                    nix[0] = jnp.where(atd, bx, jnp.where(at0, NEG, nix[0]))
+                    niy[0] = jnp.where(at0, bx, jnp.where(atd, NEG, niy[0]))
+                    if lengths:
+                        nlix[0] = jnp.where(atd, d_f, jnp.where(at0, 0.0, nlix[0]))
+                        nliy[0] = jnp.where(at0, d_f, jnp.where(atd, 0.0, nliy[0]))
                 else:
                     bx = np.float32(0.0) if semi else -cum_ref[0, d]
                     on_lvl = lvl_d == l + 1
@@ -297,11 +347,30 @@ def _make_kernel(grid_d, Bblk, Lp, k, gap_series, mode, lengths, traceback,
                         nlix[l] = jnp.where(atd, d_f, jnp.where(at0, 0.0, nlix[l]))
                         nliy[l] = jnp.where(at0, d_f, jnp.where(atd, 0.0, nliy[l]))
 
+            codes_x = codes_y = None
+            if collapsed:
+                # Post-border stay: (d,0) IS a level-2 run; (0,d) carries
+                # no Ix (and symmetrically for Iy).
+                if local:
+                    border = at0 | atd
+                    sx = sx & ~border
+                    sy = sy & ~border
+                else:
+                    # boolean algebra, not where(pred, True, ...): Mosaic
+                    # cannot legalize the i8->i1 truncation the scalar-True
+                    # select lowers to.
+                    sx = atd | (sx & ~at0)
+                    sy = at0 | (sy & ~atd)
+                sxi = sx.astype(jnp.int32)
+                syi = sy.astype(jnp.int32)
+                if traceback:
+                    codes_x, codes_y = [1 + sxi], [1 + k + syi]
             bv, bl, bc = prio(nm, nix, niy,
                               nlm if lengths else None,
                               nlix if lengths else None,
                               nliy if lengths else None,
-                              codes=traceback)
+                              codes=traceback,
+                              codes_x=codes_x, codes_y=codes_y)
 
             # ---- terminal tracking ----
             if mode == "global":
@@ -356,7 +425,7 @@ def _make_kernel(grid_d, Bblk, Lp, k, gap_series, mode, lengths, traceback,
 
             # ---- write carries ----
             S["m1"][:, :] = nm
-            for l in range(k):
+            for l in range(kc):
                 S["ix1"][l] = nix[l]
                 S["iy1"][l] = niy[l]
                 if lengths:
@@ -373,7 +442,15 @@ def _make_kernel(grid_d, Bblk, Lp, k, gap_series, mode, lengths, traceback,
                 S["r1c"][:, :] = bc
                 # int32 arithmetic (Mosaic cannot legalize sub-word shifts),
                 # narrowed to uint8 at the store.
-                bits = mcode + stay_x.astype(jnp.int32) * 32 + stay_y.astype(jnp.int32) * 64
+                if collapsed:
+                    # bit 5 = prev diagonal's x-stay shifted (cell
+                    # (i-1, j)); bit 6 = prev y-stay unshifted (cell
+                    # (i, j-1)) — the per-level form's [lvl2 > lvl1].
+                    bits = mcode + psxs * 32 + psyv * 64
+                    S["psx"][:, :] = sxi
+                    S["psy"][:, :] = syi
+                else:
+                    bits = mcode + stay_x.astype(jnp.int32) * 32 + stay_y.astype(jnp.int32) * 64
                 tb_ref[u, :, :] = bits.astype(jnp.uint8)
 
 
@@ -407,11 +484,12 @@ def _bytes_per_lane(gap_series, traceback, lengths, unroll=1) -> int:
     carries, traceback rows) plus double-buffered hs in-blocks and tb
     out-blocks, plus Mosaic overhead headroom."""
     k = len(gap_series)
-    n_rows = 3 + 2 * k  # m1, r1v, r2v + ix/iy stacks
+    collapsed, kc = _collapse(k)
+    n_rows = 3 + 2 * kc  # m1, r1v, r2v + ix/iy stacks
     if lengths:
-        n_rows += 3 + 2 * k
+        n_rows += 3 + 2 * kc
     if traceback:
-        n_rows += 2
+        n_rows += 2 + (2 if collapsed else 0)  # r1c/r2c (+psx/psy)
     return 4 * (n_rows + 2 + 2 * unroll) + (2 if traceback else 0) * unroll
 
 
@@ -566,6 +644,7 @@ def wavefront_dp_pallas(
         out_shape = out_shape + carry_shapes
         out_specs = out_specs + tuple(carry_specs)
 
+    kc = _collapse(k)[1]
     scratch = []
     for name in _scratch_names(k, lengths, traceback):
         if name in ("tval", "tlen"):
@@ -573,8 +652,8 @@ def wavefront_dp_pallas(
         elif name in ("tis", "tjs", "tcs"):
             scratch.append(pltpu.VMEM((Bblk, 1), i32))
         elif name in ("ix1", "iy1", "lix1", "liy1"):
-            scratch.append(pltpu.VMEM((k, Bblk, Lp), f32))
-        elif name in ("r1c", "r2c"):
+            scratch.append(pltpu.VMEM((kc, Bblk, Lp), f32))
+        elif name in ("r1c", "r2c", "psx", "psy"):
             scratch.append(pltpu.VMEM((Bblk, Lp), i32))
         else:  # m1, r1v, r2v, lm1, r1l, r2l
             scratch.append(pltpu.VMEM((Bblk, Lp), f32))

@@ -116,6 +116,129 @@ def bench(B: int = 1024, L: int = 1023, iters: int = 8, backend: str = "auto") -
     }
 
 
+def _count_step_lane_ops(gap_series=(11, 1), mode="global",
+                         traceback=False, B=8, Lp=128) -> float:
+    """Vector (lane) ops per DP diagonal step, by jaxpr inspection of the
+    scan kernel's step body (the Pallas kernel implements the identical
+    recurrence).  Counts every elementwise/shift primitive whose output is
+    a full (B, Lp) row, in units of row-ops; reductions and (B,)-shaped
+    terminal work count at their true lane footprint."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from praline_tpu.kernels.scan import wavefront_dp
+
+    hs = jnp.zeros((8, B, Lp), jnp.float32)
+    lx = jnp.full((B,), Lp - 1, jnp.int32)
+    ly = jnp.full((B,), 6, jnp.int32)
+    jaxpr = jax.make_jaxpr(
+        lambda h, a, b: wavefront_dp(h, a, b, gap_series=gap_series,
+                                     mode=mode, traceback=traceback)
+    )(hs, lx, ly)
+
+    def find_scans(jx, out):
+        for eq in jx.eqns:
+            if eq.primitive.name == "scan":
+                out.append(eq)
+            for v in eq.params.values():
+                if hasattr(v, "jaxpr"):
+                    find_scans(v.jaxpr, out)
+        return out
+
+    scans = find_scans(jaxpr.jaxpr, [])
+    body = scans[0].params["jaxpr"].jaxpr
+    lane_elems = 0
+    skip = {"scan", "broadcast_in_dim", "convert_element_type", "reshape",
+            "squeeze", "slice", "dynamic_slice", "concatenate", "iota",
+            "transpose", "pad"}
+    for eq in body.eqns:
+        if eq.primitive.name in skip:
+            continue
+        for ov in eq.outvars:
+            shape = getattr(ov.aval, "shape", ())
+            lane_elems += int(np.prod(shape)) if shape else 0
+    return lane_elems / (B * Lp)
+
+
+def bench_utilization() -> dict:
+    """Roofline accounting for the headline kernel (VERDICT r2 item 1a):
+    measures the chip's ACHIEVABLE elementwise-VPU rate with a dedicated
+    Pallas chained-op microkernel, counts the DP recurrence's vector ops
+    per cell, and reports the headline dispatch's implied VPU utilization.
+
+    The wavefront layout processes D*Lp lane slots for Lx*Ly useful cells
+    (~50% lane occupancy at square shapes) — ``ops_per_cell`` already
+    includes that inflation, so ``vpu_utilization`` is against the
+    measured elementwise roofline, not a theoretical peak."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    R, C, CHAIN, STEPS = 256, 1024, 64, 256
+
+    def vpu_kernel(x_ref, o_ref, acc):
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            acc[:, :] = x_ref[:, :]
+
+        v = acc[:, :]
+        for i in range(CHAIN):
+            # dependent max/add chain: the VPU's DP-shaped instruction mix
+            v = jnp.maximum(v * 0.999, v - 1.0)
+        acc[:, :] = v
+
+        @pl.when(pl.program_id(0) == STEPS - 1)
+        def _done():
+            o_ref[:, :] = acc[:, :]
+
+    @jax.jit
+    def run(x):
+        return pl.pallas_call(
+            vpu_kernel,
+            grid=(STEPS,),
+            in_specs=[pl.BlockSpec((R, C), lambda i: (0, 0), memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((R, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((R, C), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((R, C), jnp.float32)],
+            interpret=jax.default_backend() != "tpu",
+        )(x)
+
+    x = jnp.ones((R, C), jnp.float32)
+    jax.block_until_ready(run(x))
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        np.asarray(run(x))[0, 0]
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    # 3 elementwise ops per chain link (mul, sub, max)
+    vpu_ops_per_s = R * C * CHAIN * 3 * STEPS / dt
+
+    # DP op accounting: scores mode (the headline), lane-slot inflation
+    # D*Lp / (Lx*Ly) ~ 2.002 at the headline's square L=1023 shape.
+    ops_per_step_lane = _count_step_lane_ops()
+    L = 1023
+    inflation = (2 * L + 1 - 2) * (L + 1) / (L * L)
+    ops_per_cell = ops_per_step_lane * inflation
+
+    headline = bench(iters=4)
+    util = headline["value"] * ops_per_cell / vpu_ops_per_s
+    return {
+        "metric": "vpu_utilization",
+        "value": util,
+        "unit": "fraction of measured elementwise-VPU roofline",
+        "vs_baseline": util,
+        "vpu_roofline_ops_per_s": vpu_ops_per_s,
+        "dp_lane_ops_per_step": ops_per_step_lane,
+        "dp_ops_per_cell": ops_per_cell,
+        "headline_cells_per_s": headline["value"],
+        "implied_lane_ops_per_s": headline["value"] * ops_per_cell,
+    }
+
+
 def _random_family(n, L, seed=0):
     import numpy as np
 
@@ -394,6 +517,7 @@ def bench_ring() -> dict:
 
 CONFIGS = {
     "cells": lambda: bench(),
+    "utilization": bench_utilization,
     "pairwise": bench_pairwise,
     "allpairs100": bench_allpairs100,
     "msa": bench_msa,

@@ -398,6 +398,31 @@ def align_tracksets_batched(
     return results
 
 
+def _mesh_spans_processes(mesh) -> bool:
+    """True when the mesh includes devices owned by other processes — the
+    jax.distributed multi-host case, where jit inputs must be GLOBAL
+    jax.Arrays (host-local numpy would raise)."""
+    import jax
+
+    me = jax.process_index()
+    return any(d.process_index != me for d in mesh.devices.flat)
+
+
+def _globalize(mesh, arr, spec):
+    """Build a global jax.Array over a multi-process mesh from data every
+    host holds in full (SPMD hosts run identical orchestration code, so
+    ``arr`` is identical everywhere): each host contributes the shards it
+    owns via make_array_from_callback."""
+    import jax
+    import numpy as np
+    from jax.sharding import NamedSharding
+
+    a = np.asarray(arr)
+    return jax.make_array_from_callback(
+        a.shape, NamedSharding(mesh, spec), lambda idx: a[idx]
+    )
+
+
 def _bucket(n: int, buckets: tuple[int, ...]) -> int:
     for b in buckets:
         if n <= b:
@@ -424,6 +449,13 @@ class ProfileArena:
     stack row, cached exactness total and token extraction alive across
     tiles instead of rebuilding and re-uploading them per call.  A new
     registration invalidates (only) its bucket's stack.
+
+    Lifetime: the registry is keyed by ``id(profile)``, so every registered
+    Profile (and its device stack row) stays pinned for the arena's
+    lifetime — that is what keeps the ids valid.  Growth is bounded by the
+    workload that owns the arena (one MSA stage registers O(N) profiles);
+    a long-running process reusing one arena across unrelated stages should
+    call :meth:`clear` between them instead of letting it accrete.
     """
 
     def __init__(self, alphabet_size: int, bucket_sizes: tuple[int, ...]):
@@ -434,6 +466,15 @@ class ProfileArena:
         self.tot: list[float] = []
         self.by_bucket: dict[int, list[int]] = {}
         self._stacks: dict[int, dict] = {}
+
+    def clear(self) -> None:
+        """Drop every registration and device stack (frees the pinned
+        Profiles and their device memory for a fresh stage)."""
+        self.pos.clear()
+        self.profs.clear()
+        self.tot.clear()
+        self.by_bucket.clear()
+        self._stacks.clear()
 
     def reg(self, p: Profile) -> int:
         k = self.pos.get(id(p))
@@ -829,6 +870,28 @@ def align_pairs_batched(
             if mesh is not None:
                 from ..dist.allpairs import sharded_indexed_dispatch
 
+                if _mesh_spans_processes(mesh):
+                    # Multi-host SPMD (SURVEY.md §5.4): every host runs this
+                    # same code on the same pairs, so the replicated stacks
+                    # and the sharded index vectors can be assembled into
+                    # global arrays host-locally.  Host-replay traceback
+                    # (local mode) would leave tb shards unaddressable.
+                    if traceback and not device_replay:
+                        raise ValueError(
+                            "local-mode traceback is not supported across "
+                            "processes; use a single-process mesh or "
+                            "global/semiglobal (device-replay) modes"
+                        )
+                    from jax.sharding import PartitionSpec as P
+
+                    operands = tuple(
+                        _globalize(mesh, a, spec)
+                        for a, spec in zip(
+                            operands,
+                            (P(), P(), P(), P(), P(), P(),
+                             P("pairs"), P("pairs"), P()),
+                        )
+                    )
                 with annotate(f"dispatch:sharded:{bx}x{by}x{len(chunk)}"):
                     out = sharded_indexed_dispatch(mesh, *operands, **static)
             else:

@@ -307,11 +307,17 @@ def msa_align(
 
         mesh = make_pair_mesh(int(np.prod(config.mesh_shape)))
 
-    ckpt = (
-        Checkpoint(config.checkpoint_dir, run_digest(sequences, config))
-        if config.checkpoint_dir
-        else None
-    )
+    ckpt = None
+    if config.checkpoint_dir:
+        import jax
+
+        # Multi-process SPMD: every host reads the shared checkpoint dir,
+        # only process 0 writes (identical artifacts either way).
+        ckpt = Checkpoint(
+            config.checkpoint_dir,
+            run_digest(sequences, config),
+            writer=jax.process_index() == 0,
+        )
     METRICS.reset()
     with maybe_trace("msa_align"):
         with METRICS.timed("preprofiles"):

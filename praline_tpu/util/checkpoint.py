@@ -43,10 +43,17 @@ def run_digest(sequences: list[Sequence], config: PralineConfig) -> str:
 
 
 class Checkpoint:
-    def __init__(self, directory: str | Path, digest: str) -> None:
+    def __init__(self, directory: str | Path, digest: str,
+                 writer: bool = True) -> None:
+        """``writer=False`` makes every ``save_*`` a no-op: under
+        multi-process SPMD all hosts share one checkpoint dir, every host
+        READS (artifacts are identical either way — the pipeline is
+        deterministic), and only process 0 WRITES (SURVEY.md §9 hard
+        part 5)."""
         self.dir = Path(directory)
         self.dir.mkdir(parents=True, exist_ok=True)
         self.digest = digest
+        self.writer = writer
         meta = self.dir / "meta.json"
         if meta.exists():
             old = json.loads(meta.read_text())
@@ -60,12 +67,22 @@ class Checkpoint:
 
     # -- preprofiles ------------------------------------------------------
     def save_preprofiles(self, sequences: list[Sequence]) -> None:
+        if not self.writer:
+            return
         arrays = {}
         for i, s in enumerate(sequences):
             prof = s.profiles[TRACK_ID_PREPROFILE]
             arrays[f"counts_{i}"] = prof.counts
             arrays[f"gaps_{i}"] = prof.gaps
-        np.savez_compressed(self.dir / "preprofiles.npz", **arrays)
+        self._savez_atomic("preprofiles.npz", **arrays)
+
+    def _savez_atomic(self, name: str, **arrays) -> None:
+        # tmp + rename: a concurrent reader (another host resuming) never
+        # sees a partial npz.
+        tmp = self.dir / f".{name}.tmp"
+        with open(tmp, "wb") as f:  # file handle: savez must not append .npz
+            np.savez_compressed(f, **arrays)
+        tmp.replace(self.dir / name)
 
     def load_preprofiles(self, sequences: list[Sequence]) -> list[Sequence] | None:
         path = self.dir / "preprofiles.npz"
@@ -80,7 +97,9 @@ class Checkpoint:
 
     # -- distance stage ---------------------------------------------------
     def save_distances(self, scores: np.ndarray, lengths: np.ndarray) -> None:
-        np.savez_compressed(self.dir / "distances.npz", scores=scores, lengths=lengths)
+        if not self.writer:
+            return
+        self._savez_atomic("distances.npz", scores=scores, lengths=lengths)
 
     def load_distances(self) -> tuple[np.ndarray, np.ndarray] | None:
         path = self.dir / "distances.npz"
@@ -96,6 +115,8 @@ class Checkpoint:
         """Persist one completed chunk of the O(N^2) stage.  Tiles write to
         disjoint files, so completion order (and multi-host ownership) never
         affects the merged matrix."""
+        if not self.writer:
+            return
         tmp = self.dir / f".tile_{tile_id}.npz.tmp"
         with open(tmp, "wb") as f:  # file handle: savez must not append .npz
             np.savez_compressed(f, scores=scores, lengths=lengths)
@@ -114,6 +135,8 @@ class Checkpoint:
 
     # -- guide tree -------------------------------------------------------
     def save_tree(self, tree: SequenceTree) -> None:
+        if not self.writer:
+            return
         (self.dir / "tree.json").write_text(
             json.dumps({"num_leaves": tree.num_leaves, "joins": list(tree.joins)})
         )

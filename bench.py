@@ -24,10 +24,13 @@ import time
 BASELINE_CELLS_PER_S = 1.0e6
 
 
-def bench(B: int = 1024, L: int = 1023, iters: int = 8, backend: str = "auto") -> dict:
+def bench(B: int = 4096, L: int = 1023, iters: int = 6, backend: str = "auto") -> dict:
+    """Headline: the PRODUCTION batched driver end to end — indexed
+    profile stacks, super-dispatch grouping (scan-of-4 sub-batches per jit,
+    kernels.batch), fused Pallas producer + collapsed wavefront DP, and the
+    host-side unpack — on a ragged profile-profile distance workload."""
     import numpy as np
     import jax
-    import jax.numpy as jnp
 
     # Persistent compilation cache: compile requests go through a relay that
     # can be slow/flaky; cached executables make bench reruns robust.
@@ -40,74 +43,62 @@ def bench(B: int = 1024, L: int = 1023, iters: int = 8, backend: str = "auto") -
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
-    from __graft_entry__ import _example_batch
+    from praline_tpu import ALPHABET_AA
     from praline_tpu.io import builtin_score_matrix
-    from praline_tpu.kernels.scan import wavefront_dp
-    from praline_tpu.kernels.scores import skewed_pair_scores
+    from praline_tpu.kernels import align_pairs_batched
+    from praline_tpu.kernels.batch import ProfileArena
+    from praline_tpu.types import Profile
 
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
-    dp = wavefront_dp  # xla path; pallas measures _dispatch_core below
 
     rng = np.random.default_rng(0)
-    s = builtin_score_matrix("blosum62").as_f32()
+    matrix = builtin_score_matrix("blosum62")
+    A = matrix.alphabet.size
 
-    # Several distinct input sets, rotated across iterations: repeated
-    # identical dispatches can be short-circuited by runtime-level result
-    # caching and would overstate throughput.  Ragged true lengths match the
-    # production all-pairs workload.
-    n_sets = 3
-    arg_sets = []
-    total_cells_per_round = 0.0
-    for k in range(n_sets):
-        cx, inv_x, cy, inv_y, _, _ = _example_batch(rng, B=B, Lx=L, Ly=L)
-        lx = rng.integers(L // 2, L + 1, size=B).astype(np.int32)
-        ly = rng.integers(L // 2, L + 1, size=B).astype(np.int32)
-        total_cells_per_round += float((lx.astype(np.float64) * ly).sum())
-        arg_sets.append(tuple(jnp.asarray(a) for a in (cx, inv_x, cy, inv_y, s, lx, ly)))
+    # Ragged integer-count profiles (the all-pairs preprofile workload);
+    # one arena so stacks upload once, exactly like the distance stage.
+    NPROF = 256
+    profs = []
+    for _ in range(NPROF):
+        Lk = int(rng.integers(L // 2, L + 1))
+        c = rng.integers(0, 2, size=(Lk, A)).astype(np.float32)
+        c[:, 0] += 1.0
+        profs.append(Profile(c, np.zeros(Lk, np.float32), ALPHABET_AA))
+    arena = ProfileArena(A, (L,))
 
-    if backend == "pallas":
-        # The PRODUCTION dispatch body (kernels.batch._dispatch_core):
-        # routes the fully fused producer+DP kernel when enabled, else the
-        # fused-producer + Pallas-DP pair — bench measures what the
-        # pipeline runs.
-        from praline_tpu.kernels.batch import _dispatch_core
+    # Two distinct pair sets, rotated across iterations: repeated identical
+    # dispatches can be short-circuited by runtime-level result caching.
+    pair_sets = []
+    total_cells = {}
+    for k in range(2):
+        pairs = [
+            (profs[(i * 7 + 3 * k) % NPROF], profs[(i * 13 + 5 + k) % NPROF])
+            for i in range(B)
+        ]
+        total_cells[k] = float(sum(
+            float(p.length) * q.length for p, q in pairs
+        ))
+        pair_sets.append(pairs)
 
-        @jax.jit
-        def run(cx, inv_x, cy, inv_y, s, lx, ly):
-            out = _dispatch_core(
-                cx, inv_x, cy, inv_y, s, lx, ly,
-                gap_series=(11, 1), mode="global", traceback=False,
-                backend="pallas", qd=None, replay=False,
-            )
-            return out["score"], out["length"]
-    else:
+    def run(pairs):
+        return align_pairs_batched(
+            pairs, matrix, (11, 1), "global", traceback=False,
+            bucket_sizes=(L,), batch_pairs=8192, backend=backend,
+            arena=arena,
+        )
 
-        @jax.jit
-        def run(cx, inv_x, cy, inv_y, s, lx, ly):
-            hs = skewed_pair_scores(cx, inv_x, cy, inv_y, s)
-            out = dp(hs, lx, ly, gap_series=(11, 1), mode="global")
-            return out["score"], out["length"]
+    run(pair_sets[0])  # warmup / compile (results are host-materialized)
+    run(pair_sets[1])
 
-    # Warmup / compile.
-    outs = [run(*a) for a in arg_sets]
-    jax.block_until_ready(outs)
-
-    # Per-round timing with a median.  Two timing hazards on this runtime:
-    # (a) an execute that exactly replays the immediately-preceding
-    # dispatches can be deduped to an instant result (median ignores the
-    # anomalous round), and (b) block_until_ready alone does not reliably
-    # wait on the remote PJRT platform — materializing output data does, so
-    # every round ends with a host pull of each dispatch's result.
-    times = []
-    for _ in range(iters):
+    rates = []
+    for it in range(iters):
+        k = it % 2
         t0 = time.perf_counter()
-        outs = [run(*a) for a in arg_sets]
-        sink = [float(score[0]) + float(length[-1]) for score, length in outs]
-        times.append(time.perf_counter() - t0)
-    del sink
-    dt = float(np.median(times))
-    value = total_cells_per_round / dt
+        res = run(pair_sets[k])
+        rates.append(total_cells[k] / (time.perf_counter() - t0))
+    assert all(r is not None for r in res)
+    value = float(np.median(rates))
     return {
         "metric": "dp_cells_per_s_chip",
         "value": value,

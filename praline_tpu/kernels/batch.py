@@ -169,6 +169,45 @@ def _indexed_jit():
 
 
 @functools.lru_cache(maxsize=1)
+def _indexed_multi_jit():
+    """Super-dispatch: n_sub sub-batches of the indexed body run inside ONE
+    jit via ``lax.scan`` — each iteration's transient hs tensor is freed
+    before the next, so the HBM budget stays per-sub-batch while the
+    per-dispatch relay round trip (~29 ms measured on the v5e,
+    tools/onchip_superdispatch.py) is paid once for the whole group.
+    Outputs gain a leading (n_sub,) axis."""
+    import jax
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=(
+            "gap_series", "mode", "traceback", "backend", "qd", "replay",
+            "onehot_x", "onehot_y", "A",
+        ),
+    )
+    def run(sx, ivx, lensx, sy, ivy, lensy, ix2, iy2, s, *, gap_series, mode,
+            traceback, backend, qd, replay, onehot_x, onehot_y, A):
+        def body(_, xs):
+            ix, iy = xs
+            out = indexed_dispatch_body(
+                sx, ivx, lensx, sy, ivy, lensy, ix, iy, s,
+                gap_series=gap_series, mode=mode, traceback=traceback,
+                backend=backend, qd=qd, replay=replay,
+                onehot_x=onehot_x, onehot_y=onehot_y, A=A,
+            )
+            return 0, out
+
+        _, outs = jax.lax.scan(body, 0, (ix2, iy2))
+        return outs
+
+    return run
+
+
+# Sub-batch grid for super-dispatch groups (largest first, greedy).
+SUPER_DISPATCH_GRID = (8, 4, 2)
+
+
+@functools.lru_cache(maxsize=1)
 def _streamed_jit():
     """Oversized-x dispatch: the streamed-producer scan (no hs tensor, no
     VMEM lane state) with optional on-device move replay — the route for
@@ -602,9 +641,10 @@ def align_pairs_batched(
         key = (_bucket(px.length, bucket_sizes), _bucket(py.length, bucket_sizes))
         groups.setdefault(key, []).append(idx)
 
-    # Device replay (kernels.replay) covers global/semiglobal traceback; the
-    # local stop-at-zero walk stays on the host (needs the carried value).
-    device_replay = traceback and mode in ("global", "semiglobal")
+    # Device replay (kernels.replay) covers ALL modes since round 3: the
+    # local stop-at-zero decision ships as bit 7 of the direction byte, so
+    # the host never rebuilds cell scores (VERDICT r2 item 5 / weak #3).
+    device_replay = traceback
 
     # Host<->device pipelining (SURVEY.md §3.2 "PP" row): dispatches are
     # enqueued asynchronously and unpacked later, so chunk k+1's transfer
@@ -620,8 +660,17 @@ def align_pairs_batched(
 
     def _unpack(chunk, pxs, pys, lx, ly, out) -> None:
         # One device_get for the whole tree: each separate materialization
-        # is a full round trip on remote runtimes.
+        # is a full round trip on remote runtimes.  Super-dispatch entries
+        # carry a list of chunks and outputs with a leading (n_sub,) axis.
         out = jax.device_get(out)
+        if isinstance(chunk[0], list):
+            for t, (sub, slx, sly) in enumerate(zip(chunk, lx, ly)):
+                _unpack_one(sub, None, None, slx, sly,
+                            {k: v[t] for k, v in out.items()})
+        else:
+            _unpack_one(chunk, pxs, pys, lx, ly, out)
+
+    def _unpack_one(chunk, pxs, pys, lx, ly, out) -> None:
         score = np.asarray(out["score"])
         length = np.asarray(out["length"])
         ti = np.asarray(out["ti"])
@@ -682,11 +731,10 @@ def align_pairs_batched(
         stream = lane_over or hs_bytes > _scaled_budget(HS_BYTES_BUDGET)
         giant_tb = stream and traceback and tb_bytes > _scaled_budget(TB_BYTES_BUDGET)
         # Giant tracebacks stay ON DEVICE via the checkpointed walk
-        # (O(L^1.5) memory, one dispatch) for the modes device replay
-        # covers; local mode's carried-value walk falls back to the native
-        # C++ twin on the host.
-        use_ckpt = giant_tb and mode in ("global", "semiglobal")
-        use_native = giant_tb and not use_ckpt
+        # (O(L^1.5) memory, one dispatch) in every mode — local's stop
+        # rule rides bit 7 (round 3).  The native C++ twin remains the
+        # independent parity cross-check (tests), not a routing target.
+        use_ckpt = giant_tb
         oversized = (
             backend == "pallas" and by > bucket_sizes[-1] and not stream
         )
@@ -710,17 +758,6 @@ def align_pairs_batched(
             group_backend = "xla"
             oversized = False
 
-        if use_native:
-            from ..native import native_align_scores
-
-            for i in idxs:
-                px, py = pairs[i]
-                h = pair_score_matrix(px, py, matrix)
-                res = native_align_scores(h, tuple(gap_series), mode)
-                results[i] = res if traceback else PairResult(
-                    res.score, float(res.length), px.length, py.length
-                )
-            continue
         if stream:
             # Long-tail path: runs single-device even under a mesh (the
             # streamed scan has no sharded variant; oversized problems are
@@ -780,6 +817,7 @@ def align_pairs_batched(
                 drain(group_in_flight)
             continue
 
+        indexed_descs: list[tuple] = []
         for start in range(0, len(idxs), eff_batch):
             chunk = idxs[start : start + eff_batch]
             pxs = [pairs[i][0] for i in chunk]
@@ -842,31 +880,70 @@ def align_pairs_batched(
                 iy = np.concatenate([iy, np.full(pad, iy[0], np.int32)])
             lx = sx_st["host_lens"][ix]
             ly = sy_st["host_lens"][iy]
-            qd = None
-            if group_backend == "pallas" and sx_st["onehot"] and sy_st["onehot"]:
-                from .fused_dp import max_lanes_fused
-                from .scores import quantized_dtype_for
+            indexed_descs.append((chunk, pxs, pys, ix, iy, lx, ly))
 
-                # int8 scale-free scoring halves the TWO-kernel path's hs
-                # HBM traffic; the fused kernel has no hs traffic at all,
-                # so when the dispatch will route fused, qd stays None
-                # (don't compute a knob the kernel would ignore).
-                fused_take = _fused_dp_enabled() and (
-                    -(-(bx + 1) // 128) * 128
-                    <= max_lanes_fused(gap_series, not traceback, traceback)
-                )
-                if not fused_take:
-                    qd = quantized_dtype_for(max_s)
-            static = dict(
-                gap_series=tuple(gap_series), mode=mode, traceback=traceback,
-                backend=group_backend, qd=qd, replay=device_replay,
-                onehot_x=sx_st["onehot"], onehot_y=sy_st["onehot"], A=A,
+        if not indexed_descs:
+            continue
+        sx_st = _stack(bx)
+        sy_st = _stack(by)
+        qd = None
+        if group_backend == "pallas" and sx_st["onehot"] and sy_st["onehot"]:
+            from .fused_dp import max_lanes_fused
+            from .scores import quantized_dtype_for
+
+            # int8 scale-free scoring halves the TWO-kernel path's hs
+            # HBM traffic; the fused kernel has no hs traffic at all,
+            # so when the dispatch will route fused, qd stays None
+            # (don't compute a knob the kernel would ignore).
+            fused_take = _fused_dp_enabled() and (
+                -(-(bx + 1) // 128) * 128
+                <= max_lanes_fused(gap_series, not traceback, traceback)
             )
-            operands = (
-                sx_st["stack"], sx_st["inv"], sx_st["lens"],
-                sy_st["stack"], sy_st["inv"], sy_st["lens"],
-                jnp.asarray(ix), jnp.asarray(iy), s_dev,
-            )
+            if not fused_take:
+                qd = quantized_dtype_for(max_s)
+        static = dict(
+            gap_series=tuple(gap_series), mode=mode, traceback=traceback,
+            backend=group_backend, qd=qd, replay=device_replay,
+            onehot_x=sx_st["onehot"], onehot_y=sy_st["onehot"], A=A,
+        )
+        stacks = (
+            sx_st["stack"], sx_st["inv"], sx_st["lens"],
+            sy_st["stack"], sy_st["inv"], sy_st["lens"],
+        )
+        # Super-dispatch: runs of same-shape chunks collapse into one
+        # scan-of-n_sub jit — the per-dispatch relay round trip (~29 ms
+        # measured, tools/onchip_superdispatch.py) is paid once per group.
+        # Mesh-less, scores/device-replay modes only (stacked raw tb
+        # tensors would multiply the HBM footprint).
+        super_ok = mesh is None and not (traceback and not device_replay)
+        di = 0
+        while di < len(indexed_descs):
+            chunk, pxs, pys, ix, iy, lx, ly = indexed_descs[di]
+            n_run = 1
+            if super_ok:
+                while (
+                    di + n_run < len(indexed_descs)
+                    and len(indexed_descs[di + n_run][3]) == len(ix)
+                ):
+                    n_run += 1
+            n_sub = next((g for g in SUPER_DISPATCH_GRID if g <= n_run), 1)
+            if n_sub > 1:
+                grp = indexed_descs[di : di + n_sub]
+                ix2 = np.stack([d[3] for d in grp])
+                iy2 = np.stack([d[4] for d in grp])
+                with annotate(f"dispatch:super{n_sub}:{bx}x{by}x{len(ix)}"):
+                    out = _indexed_multi_jit()(
+                        *stacks, jnp.asarray(ix2), jnp.asarray(iy2), s_dev,
+                        **static,
+                    )
+                in_flight.append((
+                    [d[0] for d in grp], None, None,
+                    [d[5] for d in grp], [d[6] for d in grp], out,
+                ))
+                di += n_sub
+                drain(group_in_flight)
+                continue
+            operands = stacks + (jnp.asarray(ix), jnp.asarray(iy), s_dev)
             if mesh is not None:
                 from ..dist.allpairs import sharded_indexed_dispatch
 
@@ -898,6 +975,7 @@ def align_pairs_batched(
                 with annotate(f"dispatch:{bx}x{by}x{len(chunk)}"):
                     out = _indexed_jit()(*operands, **static)
             in_flight.append((chunk, pxs, pys, lx, ly, out))
+            di += 1
             drain(group_in_flight)
     drain(0)
     return results

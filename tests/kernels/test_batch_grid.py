@@ -90,3 +90,50 @@ def test_grid_boundary_dispatch_matches_oracle(monkeypatch):
             assert r.score == want.score
             np.testing.assert_array_equal(r.cols_x, want.cols_x)
             np.testing.assert_array_equal(r.cols_y, want.cols_y)
+
+
+def test_super_dispatch_groups_equal_chunks(monkeypatch):
+    """4 identical-shape chunks collapse into ONE scan-of-4 super-dispatch
+    (latency amortization), with results still bit-equal to the oracle."""
+    import numpy as np
+
+    from praline_tpu import ALPHABET_AA, builtin_score_matrix
+    from praline_tpu.kernels import align_pairs_batched
+    from praline_tpu.kernels import batch as batch_mod
+    from praline_tpu.oracle import align_profiles
+    from praline_tpu.types import Profile
+
+    rng = np.random.default_rng(11)
+    m = builtin_score_matrix("blosum62")
+
+    def one(L):
+        return Profile.from_tokens(
+            rng.integers(0, 20, size=L).astype(np.int32), ALPHABET_AA
+        )
+
+    pairs = [(one(int(rng.integers(5, 64))), one(int(rng.integers(5, 64))))
+             for _ in range(128)]
+    hs_bytes, _ = per_problem_bytes(63, 63)
+    monkeypatch.setattr(batch_mod, "DISPATCH_BYTES_BUDGET", 33 * hs_bytes)
+
+    calls = []
+    real = batch_mod._indexed_multi_jit
+
+    def spy():
+        fn = real()
+
+        def wrapper(*a, **k):
+            calls.append(tuple(a[6].shape))  # ix2: (n_sub, B)
+            return fn(*a, **k)
+
+        return wrapper
+
+    monkeypatch.setattr(batch_mod, "_indexed_multi_jit", spy)
+    got = align_pairs_batched(
+        pairs, m, (11, 1), "global", traceback=False, bucket_sizes=(63,),
+        batch_pairs=1024,
+    )
+    assert calls == [(4, 32)], calls  # one scan-of-4 over 32-pair chunks
+    for (px, py), r in zip(pairs, got):
+        want = align_profiles(px, py, m, (11, 1), "global")
+        assert r.score == want.score

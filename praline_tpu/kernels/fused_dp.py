@@ -485,6 +485,9 @@ def wavefront_dp_fused(
                 else:
                     bits = (mcode + stay_x.astype(jnp.int32) * 32
                             + stay_y.astype(jnp.int32) * 64)
+                if local:
+                    # bit 7 = "M value <= 0": local device replay.
+                    bits = bits + (nm <= 0.0).astype(jnp.int32) * 128
                 tb_ref[pl.ds(u, 1)] = bits.astype(jnp.uint8)[None]
             return 0
 

@@ -451,6 +451,10 @@ def _make_kernel(grid_d, Bblk, Lp, k, gap_series, mode, lengths, traceback,
                     S["psy"][:, :] = syi
                 else:
                     bits = mcode + stay_x.astype(jnp.int32) * 32 + stay_y.astype(jnp.int32) * 64
+                if local:
+                    # bit 7 = "M value <= 0": lets the local stop-at-zero
+                    # walk replay on device (kernels.replay).
+                    bits = bits + (nm <= 0.0).astype(jnp.int32) * 128
                 tb_ref[u, :, :] = bits.astype(jnp.uint8)
 
 

@@ -10,10 +10,12 @@ only a compact move tape (1 byte per emitted alignment column) ever crosses
 the host boundary — ~2 orders of magnitude less transfer than the bit
 tensor, and no host-side O(L^2) rework.
 
-Covers global and semiglobal modes (the production merge/preprofile paths).
-Local mode keeps the host replay: its stop-at-zero rule tracks the running
-cell value in float64, which TPUs do not implement natively
-(kernels.traceback documents the carried-value arithmetic).
+Covers ALL modes: global, semiglobal, and (round 3) local — the local
+stop-at-zero rule's only value-dependent decision ("is this M cell worth
+<= 0?") is emitted by the fill kernels as bit 7 of the direction byte, so
+the walk needs no cell values.  kernels.traceback keeps the carried-value
+host walk as the giant-problem fallback and as an independent
+cross-check.
 
 Move codes (emitted terminal -> origin, like the host walk's append order):
   0 = none (walk finished), 1 = diagonal (consume x and y),
@@ -41,12 +43,14 @@ def _walk_init(tcode, k):
     return st0, lvl0
 
 
-def _walk_step(bits, i, j, st, lvl, done, k):
+def _walk_step(bits, i, j, st, lvl, done, k, local=False):
     """One move of the traceback state machine for a batch of walks.
 
     ``bits`` int32[B]: the direction byte at each walk's current cell.
     Mirrors ``oracle.align._traceback`` exactly (shared by the full-tensor
     walk below and the checkpointed blockwise walk in kernels.scan).
+    ``local`` activates the stop-at-zero rule via the kernel-emitted bit 7
+    ("this M cell's value <= 0") — the walk then needs no cell values.
     Returns ``((ni, nj, nst, nlvl, ndone), move)``."""
     mptr = bits & 31
     stay_x = ((bits >> 5) & 1) == 1
@@ -57,8 +61,11 @@ def _walk_step(bits, i, j, st, lvl, done, k):
     is_iy = (st == 2) & ~done
 
     at_origin = (i == 0) & (j == 0)
-    m_stop = is_m & at_origin  # reached (0, 0): stop without emitting
-    m_emit = is_m & ~at_origin
+    stop = at_origin
+    if local:  # entering an M cell worth <= 0 ends the path (§8.3)
+        stop = stop | (((bits >> 7) & 1) == 1)
+    m_stop = is_m & stop  # stop WITHOUT emitting this cell
+    m_emit = is_m & ~stop
 
     # --- M: consume (i-1, j-1); next state from the stored pointer ---
     m_done = m_emit & (mptr == PTR_NONE)
@@ -134,8 +141,9 @@ def replay_moves(
     emission order and ``n`` int32[B] emitted-move counts.  ``steps`` must
     bound the longest walk (``lx + ly``; defaults to ``T + 1``).
     """
-    if mode not in ("global", "semiglobal"):
-        raise ValueError("device replay supports global/semiglobal only")
+    if mode not in ("global", "semiglobal", "local"):
+        raise ValueError(f"unknown mode {mode!r}")
+    local = mode == "local"
     T, B, Lp = tb.shape
     k = len(gap_series)
     if steps is None:
@@ -155,7 +163,7 @@ def replay_moves(
         bits = tb[
             jnp.clip(d - 2, 0, T - 1), bidx, jnp.clip(i, 0, Lp - 1)
         ].astype(jnp.int32)
-        return _walk_step(bits, i, j, st, lvl, done, k)
+        return _walk_step(bits, i, j, st, lvl, done, k, local=local)
 
     init = (
         ti.astype(jnp.int32),
@@ -193,8 +201,15 @@ def moves_to_result(
     takes_y = (m == 1) | (m == 3)
     cum_x = np.cumsum(takes_x).astype(np.int32)
     cum_y = np.cumsum(takes_y).astype(np.int32)
-    cols_x = np.where(takes_x, cum_x - 1, GAP).astype(np.int32)
-    cols_y = np.where(takes_y, cum_y - 1, GAP).astype(np.int32)
+    # Global/semiglobal walks reach the origin, so cumulative counts ARE
+    # absolute columns; a local walk starts mid-matrix at
+    # (ti - #x-moves, tj - #y-moves) and needs that offset.
+    offx = offy = 0
+    if mode == "local" and n:
+        offx = ti - int(cum_x[-1])
+        offy = tj - int(cum_y[-1])
+    cols_x = np.where(takes_x, cum_x - 1 + offx, GAP).astype(np.int32)
+    cols_y = np.where(takes_y, cum_y - 1 + offy, GAP).astype(np.int32)
     if mode == "semiglobal":
         ytail = np.arange(tj, ly, dtype=np.int32)
         xtail = np.arange(ti, lx, dtype=np.int32)

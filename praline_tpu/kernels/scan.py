@@ -21,7 +21,10 @@ Traceback bits per interior cell (uint8):
             31 = none — local fresh start),
   bit 5:    level-k Ix choice (1 = stay at level k / extend, 0 = enter from
             level k-1, or from M when k == 1),
-  bit 6:    same for Iy.
+  bit 6:    same for Iy,
+  bit 7:    local mode only — "this M cell's value <= 0" (the stop-at-zero
+            rule's only value-dependent decision, so local traceback
+            replays on device without cell values).
 """
 
 from __future__ import annotations
@@ -195,11 +198,11 @@ def wavefront_dp_checkpointed(
 
     Returns the terminal dict plus ``moves``/``nmoves`` (the
     ``kernels.replay`` move-tape contract; decode with
-    ``replay.moves_to_result``).  Global/semiglobal only (local traceback
-    needs the carried-value walk, kernels.traceback).
+    ``replay.moves_to_result``).  All modes (local's stop rule rides bit 7
+    of the re-derived direction bytes).
     """
-    if mode not in ("global", "semiglobal"):
-        raise ValueError("checkpointed traceback supports global/semiglobal only")
+    if mode not in ("global", "semiglobal", "local"):
+        raise ValueError(f"unknown mode {mode!r}")
     hrow_fn, B, Lp, D = _streamed_hrow(cx, inv_x, cy, inv_y, s)
     if interval is None:
         interval = default_ckpt_interval(D)
@@ -631,6 +634,13 @@ def _wavefront(hs, hrow_fn, D, B, Lp, lx, ly, gap_series, mode, traceback,
 
         if traceback:
             bits = mcode.astype(jnp.uint8)
+            if local:
+                # bit 7 = "this M cell's value <= 0": the ONLY
+                # value-dependent decision in the local stop-at-zero walk
+                # (oracle semantics: entering an M cell worth <= 0 ends the
+                # path before emitting it) — with it, local traceback
+                # replays on DEVICE like global/semiglobal (kernels.replay).
+                bits = bits | ((nm <= 0.0).astype(jnp.uint8) << 7)
             if collapsed:
                 # bit 5 = previous diagonal's x-stay SHIFTED one lane
                 # (cell (i-1, j)); bit 6 = previous diagonal's y-stay at
@@ -756,7 +766,7 @@ def _wavefront(hs, hrow_fn, D, B, Lp, lx, ly, gap_series, mode, traceback,
                     r, bidx, jnp.clip(i, 0, Lp - 1)
                 ].astype(jnp.int32)
                 (ni, nj, nst, nlvl, ndone), mv = _walk_step(
-                    cell, i, j, st, lvl, done, k
+                    cell, i, j, st, lvl, done, k, local=local
                 )
                 adv = inwin & ~done
                 nc = (

@@ -63,14 +63,28 @@ def test_checkpointed_matches_full_replay(mode, gs, interval):
         assert not gm[b][gn[b]:].any()  # compacted: zeros strictly trail
 
 
-def test_checkpointed_rejects_local():
+def test_checkpointed_local_matches_full_walk():
+    """Round 3: the checkpointed walk covers local mode too (the
+    stop-at-zero rule rides bit 7 of the re-derived direction bytes)."""
+    from praline_tpu.kernels.replay import replay_moves
+    from praline_tpu.kernels.scan import wavefront_dp_streamed
+
     rng = np.random.default_rng(0)
-    cx, ivx, cy, ivy, lx, ly = _rand_profiles(rng, 1, 9, 9)
+    cx, ivx, cy, ivy, lx, ly = _rand_profiles(rng, 3, 33, 29)
     s = np.asarray(B62.as_f32())
-    with pytest.raises(ValueError):
-        wavefront_dp_checkpointed(
-            *map(jnp.asarray, (cx, ivx, cy, ivy, s, lx, ly)), mode="local"
-        )
+    args = tuple(map(jnp.asarray, (cx, ivx, cy, ivy, s, lx, ly)))
+    got = wavefront_dp_checkpointed(*args, mode="local", interval=8)
+    full = wavefront_dp_streamed(*args, mode="local", traceback=True)
+    moves, nmv = replay_moves(
+        full["tb"], full["ti"], full["tj"], full["tcode"],
+        mode="local", steps=33 + 29,
+    )
+    np.testing.assert_array_equal(np.asarray(got["score"]), np.asarray(full["score"]))
+    np.testing.assert_array_equal(np.asarray(got["nmoves"]), np.asarray(nmv))
+    gm, fm = np.asarray(got["moves"]), np.asarray(moves)
+    for b in range(3):
+        n = int(np.asarray(nmv)[b])
+        np.testing.assert_array_equal(gm[b, :n], fm[b, :n])
 
 
 def _pairs(rng, specs):

@@ -85,11 +85,10 @@ def test_lane_cap_routes_scores_only(monkeypatch):
         assert r.score == want.score and r.length == want.length
 
 
-def test_huge_traceback_routes_to_native(monkeypatch):
-    """Past the traceback-bit budget a LOCAL-mode pair runs on the native
-    C++ parity twin (its stop-at-zero walk needs the carried value);
-    global/semiglobal stay on device via the checkpointed walk (see
-    test_checkpointed.py)."""
+def test_huge_traceback_stays_on_device_local(monkeypatch):
+    """Past the traceback-bit budget even LOCAL-mode pairs stay on device:
+    the stop-at-zero rule rides bit 7, so the checkpointed walk covers all
+    modes (round 3; global/semiglobal in test_checkpointed.py)."""
     monkeypatch.setattr(batch_mod, "_lane_cap", lambda gs, tb: 20)
     monkeypatch.setattr(batch_mod, "TB_BYTES_BUDGET", 64)
     rng = np.random.default_rng(9)
@@ -102,6 +101,7 @@ def test_huge_traceback_routes_to_native(monkeypatch):
     want = align_profiles(px, py, B62, (11, 1), "local")
     assert r.score == want.score
     np.testing.assert_array_equal(r.cols_x, want.cols_x)
+    np.testing.assert_array_equal(r.cols_y, want.cols_y)
 
 
 def test_xla_hs_budget_routes_to_streamed(monkeypatch):

@@ -34,8 +34,9 @@ replay and emits only the 1-byte-per-column move tape.
 All joins share one padded column capacity, so the whole stage reuses a
 single executable; column overflow is detected from the returned counts and
 retries at the next bucket, then falls back to the per-level batched path
-(msa.pipeline).  Global merge mode only (the default); local/semiglobal
-merges use the per-level path.
+(msa.pipeline).  Global and semiglobal merge modes (the free trailing gaps
+append on device as full-coverage tape moves); local merges use the
+per-level path (their DP path does not cover all columns).
 """
 
 from __future__ import annotations
@@ -50,25 +51,45 @@ from ..oracle.profile import COUNT_LIMIT, member_profile, rescale_counts
 
 # Column-capacity ladder (2^n - 1 like the batch driver's buckets: diagonal
 # vectors of length C_cap + 1 fill TPU lanes exactly).
-C_BUCKETS = (127, 255, 511, 1023, 2047, 4095)
+C_BUCKETS = (127, 255, 511, 1023, 2047, 4095, 8191)
 MAX_ATTEMPTS = 3
-# Joins per level-step dispatch (fixed: one executable per C_cap).
+# Joins per level-step dispatch (one executable per C_cap); the top rung
+# runs the STREAMED producer (no materialized hs tensor) with a narrower
+# chunk so its full-bit traceback stays inside HBM.
 LEVEL_CHUNK_J = 32
+
+
+def _level_chunk(C_cap: int) -> int:
+    return 32 if C_cap <= 4095 else 4
+
+
+def _use_streamed(C_cap: int) -> bool:
+    """Above 4095 columns the materialized skewed hs tensor would cost
+    O(2*C * J * C * 4) bytes (17 GB at 8191 with J=32); the streamed
+    producer keeps peak memory at O(J * C * A)."""
+    return C_cap > 4095
+
+
 # Sequential joins per chain-step dispatch (caterpillar segments).
 CHAIN_K = 16
 
 
 def _make_join_body(C_cap: int, A: int, gap_series: tuple[int, ...],
-                    inv_size: int, J: int):
+                    inv_size: int, J: int, mode: str = "global"):
     """The core J-join table update: gather operands from the node table,
     run the batched DP + replay + profile composition, scatter results
     back.  Shared by the per-level step (J=32 parallel joins) and the
-    chain step (a lax.scan of J=1 dependent joins)."""
+    chain step (a lax.scan of J=1 dependent joins).
+
+    ``mode`` covers global AND semiglobal (VERDICT r2 item 5): the
+    semiglobal walk's free trailing gaps are appended ON DEVICE as
+    full-coverage tape moves, so composition and host assembly stay
+    mode-agnostic."""
     import jax
     import jax.numpy as jnp
 
     from ..kernels.replay import replay_moves
-    from ..kernels.scan import wavefront_dp
+    from ..kernels.scan import wavefront_dp, wavefront_dp_streamed
     from ..kernels.scores import skewed_pair_scores
 
     steps = 2 * C_cap
@@ -91,15 +112,37 @@ def _make_join_body(C_cap: int, A: int, gap_series: tuple[int, ...],
         invl = inv_table[jnp.clip(totl, 0, inv_size - 1)]
         invr = inv_table[jnp.clip(totr, 0, inv_size - 1)]
 
-        hs = skewed_pair_scores(cl, invl, cr, invr, s)
-        out = wavefront_dp(
-            hs, Cl, Cr, gap_series=gap_series, mode="global", traceback=True
-        )
+        if _use_streamed(C_cap):
+            out = wavefront_dp_streamed(
+                cl, invl, cr, invr, s, Cl, Cr,
+                gap_series=gap_series, mode=mode, traceback=True,
+            )
+        else:
+            hs = skewed_pair_scores(cl, invl, cr, invr, s)
+            out = wavefront_dp(
+                hs, Cl, Cr, gap_series=gap_series, mode=mode, traceback=True
+            )
         moves, nmv = replay_moves(
             out["tb"], out["ti"], out["tj"], out["tcode"],
-            gap_series=gap_series, mode="global", steps=steps,
+            gap_series=gap_series, mode=mode, steps=steps,
         )
         m = moves.astype(jnp.int32)  # (J, steps), terminal -> origin
+        if mode == "semiglobal":
+            # Full-coverage tape: prepend (in terminal->origin emission
+            # order) the free trailing gaps — x tail first, then y tail —
+            # exactly moves_to_result/full_coverage_path's column order.
+            tx = Cl - out["ti"]
+            ty = Cr - out["tj"]
+            shift = tx + ty
+            p0 = jnp.arange(steps, dtype=jnp.int32)[None, :]
+            src = p0 - shift[:, None]
+            walk = jnp.take_along_axis(m, jnp.clip(src, 0, steps - 1), axis=1)
+            walk = jnp.where(src >= 0, walk, 0)
+            m = jnp.where(
+                p0 < tx[:, None], 2, jnp.where(p0 < shift[:, None], 3, walk)
+            )
+            nmv = nmv + shift
+            moves = m.astype(jnp.uint8)  # host decodes the FULL tape
 
         # Compose the merged profiles from the move tapes (the pinned
         # semantics of oracle.profile.compose_profiles).  Emission position
@@ -111,8 +154,10 @@ def _make_join_body(C_cap: int, A: int, gap_series: tuple[int, ...],
         takes_y = (m == 1) | (m == 3)
         rcx = jnp.cumsum(takes_x.astype(jnp.int32), axis=1)
         rcy = jnp.cumsum(takes_y.astype(jnp.int32), axis=1)
-        xi = jnp.clip(out["ti"][:, None] - rcx, 0, C_cap - 1)
-        yi = jnp.clip(out["tj"][:, None] - rcy, 0, C_cap - 1)
+        # Full-coverage tapes start at (Cl, Cr) — for global that IS the
+        # terminal; for semiglobal the appended tails make it so.
+        xi = jnp.clip(Cl[:, None] - rcx, 0, C_cap - 1)
+        yi = jnp.clip(Cr[:, None] - rcy, 0, C_cap - 1)
         c = jnp.clip(nmv[:, None] - 1 - p, 0, C_cap - 1)
 
         wx = (takes_x & valid).astype(jnp.float32)[:, :, None]
@@ -158,11 +203,11 @@ def _make_join_body(C_cap: int, A: int, gap_series: tuple[int, ...],
 
 @functools.lru_cache(maxsize=64)
 def _level_step_jit(C_cap: int, A: int, gap_series: tuple[int, ...],
-                    inv_size: int, J: int):
+                    inv_size: int, J: int, mode: str = "global"):
     """One tree LEVEL of J independent joins as a single dispatch."""
     import jax
 
-    body = _make_join_body(C_cap, A, gap_series, inv_size, J)
+    body = _make_join_body(C_cap, A, gap_series, inv_size, J, mode)
 
     # Donation: the node tables are rewritten every level; reusing their
     # buffers avoids an O(nodes * C_cap * A) copy per level (a no-op copy
@@ -172,7 +217,7 @@ def _level_step_jit(C_cap: int, A: int, gap_series: tuple[int, ...],
 
 @functools.lru_cache(maxsize=64)
 def _chain_step_jit(C_cap: int, A: int, gap_series: tuple[int, ...],
-                    inv_size: int, K: int):
+                    inv_size: int, K: int, mode: str = "global"):
     """K SEQUENTIAL joins in one dispatch (lax.scan over the join schedule,
     node tables as carry).
 
@@ -184,7 +229,7 @@ def _chain_step_jit(C_cap: int, A: int, gap_series: tuple[int, ...],
 
     import jax.numpy as jnp
 
-    body = _make_join_body(C_cap, A, gap_series, inv_size, 1)
+    body = _make_join_body(C_cap, A, gap_series, inv_size, 1, mode)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
     def chain(counts_tab, gaps_tab, len_tab, mem_tab, li, ri, oi, nvalid,
@@ -226,14 +271,14 @@ def try_device_merge(
 ) -> Alignment | None:
     """Run the whole merge stage device-resident; None -> caller falls back.
 
-    Fallback conditions: non-global merge mode, exactness bound exceeded for
-    the raw leaf profiles, or merged column counts overflowing every bucket
-    attempt.
+    Fallback conditions: local merge mode (its path does not cover all
+    columns), exactness bound exceeded for the raw leaf profiles, or merged
+    column counts overflowing every bucket attempt.
     """
     import jax
     import jax.numpy as jnp
 
-    if config.merge_mode != "global":
+    if config.merge_mode not in ("global", "semiglobal"):
         return None
     n = len(sequences)
     if n < 2 or any(s.length == 0 for s in sequences):
@@ -308,8 +353,11 @@ def try_device_merge(
         # upload/init on remote runtimes, so fixed shapes with trivially
         # wasted pad compute beat a per-size shape grid.
         gs = tuple(config.gap_series)
-        step = _level_step_jit(C_cap, A, gs, inv_size, LEVEL_CHUNK_J)
-        chain_step = _chain_step_jit(C_cap, A, gs, inv_size, CHAIN_K)
+        chunk_j = _level_chunk(C_cap)
+        step = _level_step_jit(C_cap, A, gs, inv_size, chunk_j,
+                               config.merge_mode)
+        chain_step = _chain_step_jit(C_cap, A, gs, inv_size, CHAIN_K,
+                                     config.merge_mode)
         tabs = [counts_tab, gaps_tab, len_tab, mem_tab]
         level_out = []
 
@@ -333,7 +381,7 @@ def try_device_merge(
             if len(pending) == 1:
                 # A lone join runs in the parallel level step, whose pads
                 # are data-parallel (near-zero marginal cost).
-                li, ri, oi = _idx(pending, LEVEL_CHUNK_J)
+                li, ri, oi = _idx(pending, chunk_j)
                 out = step(*tabs, li, ri, oi, s_dev, inv_dev)
             else:
                 li, ri, oi = _idx(pending, CHAIN_K)
@@ -352,9 +400,9 @@ def try_device_merge(
                     _flush_chain()
                 continue
             _flush_chain()  # later levels may consume chain outputs
-            for s0 in range(0, len(level), LEVEL_CHUNK_J):
-                chunk = level[s0 : s0 + LEVEL_CHUNK_J]
-                li, ri, oi = _idx(chunk, LEVEL_CHUNK_J)
+            for s0 in range(0, len(level), chunk_j):
+                chunk = level[s0 : s0 + chunk_j]
+                li, ri, oi = _idx(chunk, chunk_j)
                 out = step(*tabs, li, ri, oi, s_dev, inv_dev)
                 tabs[:] = out[:4]
                 level_out.append((chunk, out[4], out[5]))

@@ -1,0 +1,113 @@
+"""On-chip compiled parity gate (SURVEY.md §5.2, VERDICT r2 item 3).
+
+Runs on the REAL TPU (no JAX_PLATFORMS override) and asserts bit parity of
+every compiled kernel against the compiled XLA scan, across all modes x gap
+series: the Pallas two-kernel path (fused producer + DP), the fully fused
+kernel, the int8 one-hot scoring path, and on-device traceback replay vs
+the oracle through the batch API.  Exit code 0 = parity; invoked by
+tests/kernels/test_onchip_parity.py under PRALINE_PERF=1.
+"""
+
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+assert jax.default_backend() == "tpu", jax.devices()
+jax.config.update("jax_compilation_cache_dir", "/tmp/praline_jax_cache_tpu")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+from __graft_entry__ import _example_batch
+from praline_tpu import ALPHABET_AA, builtin_score_matrix
+from praline_tpu.kernels import align_pairs_batched
+from praline_tpu.kernels.fused_dp import wavefront_dp_fused
+from praline_tpu.kernels.fused_scores import fused_skewed_scores
+from praline_tpu.kernels.pallas_dp import wavefront_dp_pallas
+from praline_tpu.kernels.scan import wavefront_dp
+from praline_tpu.kernels.scores import quantized_dtype_for, skewed_pair_scores
+from praline_tpu.oracle import align_profiles
+from praline_tpu.types import Profile
+
+rng = np.random.default_rng(0)
+m = builtin_score_matrix("blosum62")
+s = np.asarray(m.as_f32())
+
+MODES = ("global", "semiglobal", "local")
+SERIES = ((11, 1), (13, 7, 1))
+
+# ---- compiled Pallas two-kernel + fused vs compiled scan: terminals+bits --
+for mode in MODES:
+    for gs in SERIES:
+        cx, ivx, cy, ivy, _, _ = _example_batch(rng, B=5, Lx=61, Ly=144)
+        lx = rng.integers(30, 62, size=5).astype(np.int32)
+        ly = rng.integers(70, 145, size=5).astype(np.int32)
+        args = tuple(map(jnp.asarray, (cx, ivx, cy, ivy, s)))
+        hs = skewed_pair_scores(*args)
+        want = wavefront_dp(hs, jnp.asarray(lx), jnp.asarray(ly),
+                            gap_series=gs, mode=mode, traceback=True)
+        hsf = fused_skewed_scores(*args)
+        pal = wavefront_dp_pallas(
+            hsf, jnp.asarray(lx), jnp.asarray(ly), gap_series=gs, mode=mode,
+            traceback=True, hs_body=True, interpret=False,
+        )
+        fus = wavefront_dp_fused(
+            *map(jnp.asarray, (cx, ivx, cy, ivy, s, lx, ly)),
+            gap_series=gs, mode=mode, traceback=True, interpret=False,
+        )
+        tbw = np.asarray(want["tb"])
+        for name, got in (("pallas", pal), ("fused", fus)):
+            for key in ("score", "ti", "tj", "tcode"):
+                np.testing.assert_array_equal(
+                    np.asarray(want[key]), np.asarray(got[key]),
+                    err_msg=f"{name}/{mode}/{gs}:{key}")
+            tbg = np.asarray(got["tb"])[: tbw.shape[0], :, : tbw.shape[2]]
+            np.testing.assert_array_equal(tbw, tbg,
+                                          err_msg=f"{name}/{mode}/{gs}:tb")
+print("on-chip: pallas + fused vs scan bit parity OK (all modes x series)")
+
+# ---- int8 one-hot scoring path vs scan ----
+qd = quantized_dtype_for(float(np.abs(m.scores).max()))
+assert qd is not None
+for mode in MODES:
+    toksx = rng.integers(0, 20, size=(4, 47)).astype(np.int32)
+    toksy = rng.integers(0, 20, size=(4, 63)).astype(np.int32)
+    cx = jax.nn.one_hot(toksx, 23, dtype=jnp.float32)
+    cy = jax.nn.one_hot(toksy, 23, dtype=jnp.float32)
+    ivx = jnp.ones((4, 47), jnp.float32)
+    ivy = jnp.ones((4, 63), jnp.float32)
+    lx = np.full(4, 47, np.int32)
+    ly = np.full(4, 63, np.int32)
+    hs = skewed_pair_scores(cx, ivx, cy, ivy, jnp.asarray(s))
+    want = wavefront_dp(hs, jnp.asarray(lx), jnp.asarray(ly), mode=mode)
+    hs8 = fused_skewed_scores(cx, ivx, cy, ivy, jnp.asarray(s),
+                              out_dtype=qd, scaled=False)
+    got = wavefront_dp_pallas(
+        hs8, jnp.asarray(lx), jnp.asarray(ly), mode=mode, hs_body=True,
+        interpret=False,
+    )
+    for key in ("score", "length", "ti", "tj"):
+        np.testing.assert_array_equal(
+            np.asarray(want[key]), np.asarray(got[key]),
+            err_msg=f"int8/{mode}:{key}")
+print("on-chip: int8 one-hot scoring parity OK")
+
+# ---- batch API with on-device replay vs oracle, every mode ----
+mk = lambda L: Profile.from_tokens(
+    rng.integers(0, 20, size=L).astype(np.int32), ALPHABET_AA)
+pairs = [(mk(40), mk(35)), (mk(120), mk(90)), (mk(12), mk(50))]
+for mode in MODES:
+    for gs in SERIES:
+        got = align_pairs_batched(pairs, m, gs, mode, traceback=True,
+                                  backend="pallas")
+        for (px, py), r in zip(pairs, got):
+            want = align_profiles(px, py, m, gs, mode)
+            assert r.score == want.score, (mode, gs, r.score, want.score)
+            assert (r.cols_x == want.cols_x).all(), (mode, gs)
+            assert (r.cols_y == want.cols_y).all(), (mode, gs)
+print("on-chip: batch API + device replay oracle parity OK (all modes)")
+print("ONCHIP_PARITY_OK")

@@ -43,7 +43,8 @@ from ..kernels.scores import HIGHEST
 
 
 @functools.lru_cache(maxsize=16)
-def _build_ring(mesh_key, Lx, Ly, A, gap_series, mode, traceback, interval):
+def _build_ring(mesh_key, Lx, Ly, A, gap_series, mode, traceback, interval,
+                ckpt_interval=None):
     mesh = _MESHES[mesh_key]
     n = 1
     for dim in mesh.devices.shape:
@@ -53,22 +54,53 @@ def _build_ring(mesh_key, Lx, Ly, A, gap_series, mode, traceback, interval):
     Lp_pad = Lpn * n
     D = Lx + Ly + 1
 
+    # Extra left padding on the reversed-y buffers so the band producer's
+    # K-wide window never clamps at the tail chunks (its start is K-1
+    # lower than the per-diagonal slice's).
+    extra = interval if interval > 1 else 0
+
     def body(t_pad, invx_pad, cyr_pad, invy_pad, lx, ly):
         base = jax.lax.axis_index(PAIR_AXIS).astype(jnp.int32) * Lpn
 
         def hrow_fn(d):
-            start = (Lx + Ly - d) + base
+            start = (Lx + Ly - d) + base + extra
             w_y = jax.lax.dynamic_slice_in_dim(cyr_pad, start, Lpn, axis=1)
             w_iv = jax.lax.dynamic_slice_in_dim(invy_pad, start, Lpn, axis=1)
             h_int = jnp.einsum("bia,bia->bi", t_pad, w_y, precision=HIGHEST)
             # Rounding pinned by _wavefront's nested-scan materialization.
             return (h_int * invx_pad) * w_iv
 
+        def hband_fn(ds):
+            # Whole-superstep production on the MXU: ONE dot_general
+            # computes the local H block for the K-diagonal band (instead
+            # of K per-diagonal VPU window contractions), then a diagonal
+            # gather skews it into score rows.  H is exact-integer f32, so
+            # any contraction order is bit-identical to hrow_fn; the
+            # (h * invx) * invy multiply order is pinned the same.
+            K = ds.shape[0]
+            d0 = ds[0]
+            start = (Lx + Ly - (d0 + K - 1)) + base + extra  # window start
+            w_y = jax.lax.dynamic_slice_in_dim(cyr_pad, start, K + Lpn, axis=1)
+            w_iv = jax.lax.dynamic_slice_in_dim(invy_pad, start, K + Lpn, axis=1)
+            h_blk = jax.lax.dot_general(
+                t_pad, w_y, (((2,), (2,)), ((0,), (0,))),
+                precision=HIGHEST,
+            )  # (B, Lpn, K + Lpn)
+            t_i = jnp.arange(K, dtype=jnp.int32)[:, None]
+            lane_i = jnp.arange(Lpn, dtype=jnp.int32)[None, :]
+            j_off = (K - 1) - t_i + lane_i  # (K, Lpn), always in window
+            h_int = h_blk[:, lane_i, j_off]  # (B, K, Lpn)
+            h_int = jnp.transpose(h_int, (1, 0, 2))  # (K, B, Lpn)
+            w_ivk = jnp.transpose(w_iv[:, j_off], (1, 0, 2))
+            return (h_int * invx_pad[None]) * w_ivk
+
         B = t_pad.shape[0]
         return _wavefront(
             None, hrow_fn, D, B, Lpn, lx, ly, gap_series, mode, traceback,
             ring_axis=PAIR_AXIS, ring_n=n, lane_base=base,
             ring_interval=interval,
+            ckpt_interval=ckpt_interval,
+            hband_fn=hband_fn if interval > 1 else None,
         )
 
     rep = P()
@@ -81,7 +113,12 @@ def _build_ring(mesh_key, Lx, Ly, A, gap_series, mode, traceback, interval):
         rep,  # ly
     )
     out_specs = {k: rep for k in ("score", "length", "ti", "tj", "tcode")}
-    if traceback:
+    if ckpt_interval is not None:
+        # The blockwise walk runs replicated on every device; only the
+        # compact move tape comes back.
+        out_specs["moves"] = rep
+        out_specs["nmoves"] = rep
+    elif traceback:
         # Per-step ring emits (diag, B, lane); superstepped emits
         # (superstep, step-in-chunk, B, lane) — re-skewed on the host.
         nd = 3 if interval <= 1 else 4
@@ -109,14 +146,20 @@ def _unskew_tb(raw, D, K, Lpn, n):
 
 def ring_wavefront_dp(mesh, cx, inv_x, cy, inv_y, s, lx, ly,
                       gap_series=(11, 1), mode="global", traceback=False,
-                      interval=None):
+                      interval=None, ckpt_interval=None):
     """Run B (usually 1) oversized pairwise DPs with lanes sharded over
     ``mesh``.  Same terminal contract as kernels.scan.wavefront_dp; ``tb``
     comes back lane-sharded and host-concatenated (global layout).
 
     ``interval``: diagonals per boundary exchange.  ``None`` (default)
     picks a superstep that amortizes ring latency ~32x; ``1`` forces the
-    per-diagonal exchange form (one ppermute per diagonal)."""
+    per-diagonal exchange form (one ppermute per diagonal).
+
+    ``ckpt_interval``: with ``traceback=True``, run the CHECKPOINTED ring
+    walk instead of materializing the full O(D * Lp) bit tensor — the
+    giant-alignment memory bound (O(ckpt_interval * Lp) bits live at
+    once); returns ``moves``/``nmoves`` (kernels.replay move-tape
+    contract) instead of ``tb``.  Requires a superstepped interval."""
     cx = jnp.asarray(cx)
     inv_x = jnp.asarray(inv_x)
     cy = jnp.asarray(cy)
@@ -128,7 +171,8 @@ def ring_wavefront_dp(mesh, cx, inv_x, cy, inv_y, s, lx, ly,
         interval = 32
     key = _register_mesh(mesh)
     fn, Lp_pad, Lpn, n = _build_ring(
-        key, Lx, Ly, A, tuple(gap_series), mode, traceback, int(interval)
+        key, Lx, Ly, A, tuple(gap_series), mode, traceback, int(interval),
+        int(ckpt_interval) if ckpt_interval is not None else None,
     )
 
     # Lane layout: global lane i holds x position i-1 (lane 0 = border).
@@ -138,14 +182,16 @@ def ring_wavefront_dp(mesh, cx, inv_x, cy, inv_y, s, lx, ly,
         inv_x, ((0, 0), (1, Lp_pad - Lx - 1)), constant_values=1.0
     )
     # Reversed-y windows: device base b, diagonal d reads indices
-    # [Lx + Ly - d + b, ... + Lpn); pad so every slice is in bounds.
-    cyr_pad = jnp.pad(cy[:, ::-1, :], ((0, 0), (Lx, Lp_pad), (0, 0)))
+    # [Lx + Ly - d + b (+ extra), ... ); pad so every slice — including the
+    # band producer's K-wide superstep window — is in bounds.
+    extra = int(interval) if int(interval) > 1 else 0
+    cyr_pad = jnp.pad(cy[:, ::-1, :], ((0, 0), (Lx + extra, Lp_pad), (0, 0)))
     invy_pad = jnp.pad(
-        inv_y[:, ::-1], ((0, 0), (Lx, Lp_pad)), constant_values=1.0
+        inv_y[:, ::-1], ((0, 0), (Lx + extra, Lp_pad)), constant_values=1.0
     )
     out = fn(t_pad, invx_pad, cyr_pad, invy_pad,
              jnp.asarray(lx), jnp.asarray(ly))
-    if traceback and int(interval) > 1:
+    if traceback and ckpt_interval is None and int(interval) > 1:
         out = dict(out)
         out["tb"] = _unskew_tb(
             out["tb"], Lx + Ly + 1, int(interval), Lpn, n

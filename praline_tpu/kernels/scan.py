@@ -221,7 +221,7 @@ def default_ckpt_interval(D: int) -> int:
 
 def _wavefront(hs, hrow_fn, D, B, Lp, lx, ly, gap_series, mode, traceback,
                ring_axis=None, ring_n=1, lane_base=None, ring_interval=1,
-               ckpt_interval=None):
+               ckpt_interval=None, hband_fn=None):
     """Shared DP body.  ``ring_axis`` activates the multi-device ring form
     (SURVEY.md §3.2 ring row): the lane (x) axis is sharded over a mesh
     axis, each diagonal step passes its boundary lane to the right
@@ -271,9 +271,14 @@ def _wavefront(hs, hrow_fn, D, B, Lp, lx, ly, gap_series, mode, traceback,
         # exact only below 2^24.
         raise ValueError("superstepped ring terminal merge supports "
                          "Lx + Ly < 2^24; use ring_interval=1 beyond")
-    if ckpt_interval is not None and (hrow_fn is None or ring_axis is not None):
-        raise ValueError("checkpointed traceback requires the streamed "
-                         "single-device producer")
+    if ckpt_interval is not None and hrow_fn is None:
+        raise ValueError("checkpointed traceback requires a streamed producer")
+    if ckpt_interval is not None and ring_axis is not None and (
+        ring_interval <= 1 or not traceback
+    ):
+        raise ValueError("ring checkpointed traceback requires the "
+                         "superstepped exchange (interval > 1) and "
+                         "traceback=True")
     # Deferred terminal reduction: per-device candidates, one final merge.
     defer = superstep
 
@@ -660,7 +665,7 @@ def _wavefront(hs, hrow_fn, D, B, Lp, lx, ly, gap_series, mode, traceback,
     ) + ((psx0, psy0) if track_stay else ()) + (
         tval, tlen, ti, tj, tcode,
     )
-    if superstep:
+    if superstep and ckpt_interval is None:
         # Pipelined blocked wavefront: device p runs diagonal chunk c
         # during superstep s = c + p.  Within a superstep the inner scan
         # consumes the K boundary stacks received LAST superstep (device
@@ -698,7 +703,10 @@ def _wavefront(hs, hrow_fn, D, B, Lp, lx, ly, gap_series, mode, traceback,
             # Clip into the cum/border-cost pad range; clipped steps only
             # ever run inside discarded (invalid) or past-terminal work.
             ds = jnp.clip(ds, 2, D + dpad - 2)
-            hs_chunk = jax.vmap(hrow_fn)(ds)
+            # hband_fn: whole-chunk score production in ONE MXU matmul
+            # (dist.ring) instead of K per-diagonal VPU window dots —
+            # bit-equal for every in-range diagonal (exact-integer H).
+            hs_chunk = hband_fn(ds) if hband_fn is not None else jax.vmap(hrow_fn)(ds)
 
             def inner(ic, inp):
                 tails = _tails_of(ic)
@@ -721,6 +729,177 @@ def _wavefront(hs, hrow_fn, D, B, Lp, lx, ly, gap_series, mode, traceback,
         )
         # tb stays in (superstep, step-in-chunk, B, lane) layout; the ring
         # wrapper re-skews it to (diagonal, B, lane) on the host.
+    elif superstep and ckpt_interval is not None:
+        # ---- checkpointed traceback ON THE RING (SURVEY.md §3.2 ring
+        # row; VERDICT r2 item 6): one giant alignment gets BOTH the
+        # multi-device capacity and the O(L^1.5) traceback memory bound.
+        # The forward superstepped pass snapshots each device's entry
+        # carry + incoming head stack every per_blk chunks; the backward
+        # pass replays each R-diagonal block as a mini pipeline (the same
+        # step closure and the same exchange schedule reproduce identical
+        # bits), all-gathers only that block's lane-sharded bits
+        # (O(R * Lp), never O(D * Lp)), and walks the move tape block by
+        # block, replicated on every device. ----
+        K = ring_interval
+        R = -(-int(ckpt_interval) // K) * K  # block = whole supersteps
+        per_blk = R // K
+        nchunks = -(-(D - 2) // K)
+        nblocks = -(-nchunks // per_blk)
+        nsuper = nchunks + ring_n - 1
+        p_rank = jax.lax.axis_index(ring_axis).astype(jnp.int32)
+        nvec = 2 * (2 + kc) + 1 + (1 if track_stay else 0)
+        heads0 = jnp.zeros((K, nvec, B), jnp.float32)
+        bidx = jnp.arange(B, dtype=jnp.int32)
+
+        def _tails_of(c):
+            m1_, ix1_, lm1_, lix1_ = c[0], c[1], c[3], c[4]
+            r2v_, r2l_, r2c_ = c[9], c[10], c[11]
+            tails = (
+                [m1_[:, -1], r2v_[:, -1]] + [v[:, -1] for v in ix1_]
+                + [lm1_[:, -1], r2l_[:, -1]] + [v[:, -1] for v in lix1_]
+                + [jax.lax.bitcast_convert_type(r2c_[:, -1], jnp.float32)]
+            )
+            if track_stay:
+                tails.append(
+                    jax.lax.bitcast_convert_type(c[12][:, -1], jnp.float32)
+                )
+            return jnp.stack(tails)
+
+        def superstep_chunk(c0, heads, cidx, ok):
+            """One superstep's inner scan: returns (merged, tails, bits)."""
+            ds = jnp.clip(
+                2 + cidx * K + jnp.arange(K, dtype=jnp.int32), 2, D + dpad - 2
+            )
+            hs_chunk = (
+                hband_fn(ds) if hband_fn is not None else jax.vmap(hrow_fn)(ds)
+            )
+
+            def inner(ic, inp):
+                tails = _tails_of(ic)
+                new_ic, bits = step(ic, inp)
+                return new_ic, (tails, bits)
+
+            new_c, (tails, bits) = jax.lax.scan(inner, c0, (ds, hs_chunk, heads))
+            keep = ok & (cidx >= 0) & (cidx < nchunks)
+            merged = jax.tree.map(
+                lambda a, b: jnp.where(keep, a, b), new_c, c0
+            )
+            return merged, tails, bits
+
+        # ---- forward pass with per-block snapshots ----
+        snap0 = jax.tree.map(
+            lambda a: jnp.zeros((nblocks,) + a.shape, a.dtype), carry
+        )
+        hsnap0 = jnp.zeros((nblocks, K, nvec, B), jnp.float32)
+
+        def fwd(sc, s):
+            c0, heads, snaps, hsnaps = sc
+            cidx = s - p_rank
+            at_blk = (cidx >= 0) & (cidx < nchunks) & (cidx % per_blk == 0)
+            blk = jnp.clip(cidx // per_blk, 0, nblocks - 1)
+
+            def upd(buf, leaf):
+                cur = jax.lax.dynamic_index_in_dim(buf, blk, 0, keepdims=False)
+                new = jax.tree.map(
+                    lambda a, b: jnp.where(at_blk, a, b), leaf, cur
+                )
+                return jax.lax.dynamic_update_index_in_dim(buf, new, blk, 0)
+
+            snaps = jax.tree.map(upd, snaps, c0)
+            hsnaps = upd(hsnaps, heads)
+            merged, tails, _bits = superstep_chunk(c0, heads, cidx, True)
+            new_heads = jax.lax.ppermute(tails, ring_axis, _ring_perm)
+            return (merged, new_heads, snaps, hsnaps), None
+
+        (carry, _, snaps, hsnaps), _ = jax.lax.scan(
+            fwd, (carry, heads0, snap0, hsnap0),
+            jnp.arange(nsuper, dtype=jnp.int32),
+        )
+        tval, tlen, ti, tj, tcode = carry[-5:]
+        tval, tlen, ti, tj, tcode = _ring_terminal_merge(
+            tval, tlen, ti, tj, tcode, local, ring_axis
+        )
+
+        # ---- backward: replay block, all-gather its bits, walk ----
+        from .replay import _walk_init, _walk_step
+
+        st0, lvl0 = _walk_init(tcode, k)
+        Lp_g = Lp * ring_n  # global (padded) lane count
+
+        def bwd(rc, b):
+            entry = jax.tree.map(lambda a: a[b], snaps)
+            heads_e = hsnaps[b]
+
+            def mini(sc, r):
+                c0, heads = sc
+                cloc = r - p_rank
+                merged, tails, bits = superstep_chunk(
+                    c0, heads, b * per_blk + cloc,
+                    (cloc >= 0) & (cloc < per_blk),
+                )
+                new_heads = jax.lax.ppermute(tails, ring_axis, _ring_perm)
+                return (merged, new_heads), bits
+
+            _, bits_steps = jax.lax.scan(
+                mini, (entry, heads_e),
+                jnp.arange(per_blk + ring_n - 1, dtype=jnp.int32),
+            )
+            # Device p produced chunk c's bits at mini superstep c + p.
+            bits_loc = jnp.take(
+                bits_steps,
+                jnp.arange(per_blk, dtype=jnp.int32) + p_rank,
+                axis=0,
+            ).reshape(R, B, Lp)
+            bits_full = jax.lax.all_gather(
+                bits_loc, ring_axis, axis=2, tiled=True
+            )
+
+            def rstep(c, _):
+                i, j, st, lvl, done = c
+                d = i + j
+                blk_i = (d - 2) // R
+                inwin = (blk_i == b) | ((d - 2 < 0) & (b == 0))
+                r = jnp.clip(d - 2 - b * R, 0, R - 1)
+                cell = bits_full[
+                    r, bidx, jnp.clip(i, 0, Lp_g - 1)
+                ].astype(jnp.int32)
+                (ni, nj, nst, nlvl, ndone), mv = _walk_step(
+                    cell, i, j, st, lvl, done, k, local=local
+                )
+                adv = inwin & ~done
+                nc = (
+                    jnp.where(adv, ni, i),
+                    jnp.where(adv, nj, j),
+                    jnp.where(adv, nst, st),
+                    jnp.where(adv, nlvl, lvl),
+                    jnp.where(inwin, ndone, done),
+                )
+                return nc, jnp.where(adv, mv, jnp.uint8(0))
+
+            rc, mvs = jax.lax.scan(rstep, rc, None, length=R + 1)
+            return rc, mvs
+
+        rc0 = (
+            ti.astype(jnp.int32), tj.astype(jnp.int32),
+            st0, lvl0, jnp.zeros((B,), bool),
+        )
+        _, mvs = jax.lax.scan(
+            bwd, rc0, jnp.arange(nblocks - 1, -1, -1, dtype=jnp.int32)
+        )
+        mvs = jnp.transpose(mvs.reshape(nblocks * (R + 1), B), (1, 0))
+        nz = mvs != 0
+        S = mvs.shape[1]
+        tgt = jnp.where(nz, jnp.cumsum(nz.astype(jnp.int32), axis=1) - 1, S)
+        moves = (
+            jnp.zeros((B, S + 1), jnp.uint8)
+            .at[bidx[:, None], tgt]
+            .set(jnp.where(nz, mvs, jnp.uint8(0)))[:, :S]
+        )
+        nmoves = nz.sum(axis=1).astype(jnp.int32)
+        return {
+            "score": tval, "length": tlen, "ti": ti, "tj": tj,
+            "tcode": tcode, "moves": moves, "nmoves": nmoves,
+        }
     elif ckpt_interval is not None:
         # ---- checkpointed traceback (see wavefront_dp_checkpointed) ----
         R = ckpt_interval

@@ -333,6 +333,65 @@ def _snap_batch(cap: int, batch_pairs: int) -> int:
     return min(b, batch_pairs)
 
 
+@functools.lru_cache(maxsize=1)
+def _composite_indexed_jit():
+    """Indexed multi-track dispatch: per-track profile stacks live on
+    device, a chunk ships two int32 index vectors, and the composite
+    skewed score tensor accumulates per track with PINNED rounding — the
+    per-track weighted terms stack across a ``lax.scan`` boundary (a real
+    buffer across the while loop), so XLA cannot FMA-contract a term's
+    multiply into the running add (the exact hazard
+    kernels.scores.composite_skewed_scores documents).  Traceback replays
+    on device in every mode (bit 7 carries the local stop rule)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .scan import wavefront_dp
+    from .scores import skewed_pair_scores
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=("gap_series", "mode", "traceback", "weights", "steps"),
+    )
+    def run(sxs, ivxs, lensx, sys_, ivys, lensy, ix, iy, ss, *, gap_series,
+            mode, traceback, weights, steps):
+        lx = jnp.take(lensx, ix)
+        ly = jnp.take(lensy, iy)
+        terms = []
+        for t, w in enumerate(weights):
+            cx = jnp.take(sxs[t], ix, axis=0).astype(jnp.float32)
+            ivx = jnp.take(ivxs[t], ix, axis=0)
+            cy = jnp.take(sys_[t], iy, axis=0).astype(jnp.float32)
+            ivy = jnp.take(ivys[t], iy, axis=0)
+            terms.append(
+                jnp.float32(w) * skewed_pair_scores(cx, ivx, cy, ivy, ss[t])
+            )
+        if len(terms) == 1:
+            hs = terms[0]
+        else:
+            # Accumulate in track order through a scan: each add rounds on
+            # a materialized term, bit-identical to the per-op-dispatch
+            # oracle accumulation.
+            hs, _ = jax.lax.scan(
+                lambda acc, term: (acc + term, None),
+                terms[0], jnp.stack(terms[1:]),
+            )
+        out = wavefront_dp(
+            hs, lx, ly, gap_series=gap_series, mode=mode, traceback=traceback
+        )
+        if traceback:
+            moves, nmoves = replay_moves(
+                out["tb"], out["ti"], out["tj"], out["tcode"],
+                gap_series=gap_series, mode=mode, steps=steps,
+            )
+            out = {k: v for k, v in out.items() if k != "tb"}
+            out["moves"] = moves
+            out["nmoves"] = nmoves
+        return out
+
+    return run
+
+
 def align_tracksets_batched(
     pairs,
     matrices,
@@ -341,6 +400,8 @@ def align_tracksets_batched(
     mode: str,
     *,
     traceback: bool = False,
+    bucket_sizes: tuple[int, ...] = (63, 127, 255, 511, 1023, 2047),
+    batch_pairs: int = 256,
 ) -> list:
     """Batched MULTI-TRACK composite alignment (SURVEY.md C4, §8.1).
 
@@ -349,18 +410,16 @@ def align_tracksets_batched(
     column score = sum_t weights[t] * score_t — the reference's composite
     score function (e.g. amino-acid + secondary-structure tracks).
 
-    Results are bit-identical to ``oracle.align_tracksets`` per pair: the
-    composite skewed producer accumulates per-op (rounding pinned) and the
-    materialized hs feeds the jitted wavefront.  This is the seam path —
-    groups dispatch by exact shape, no bucketing/async (single-track hot
-    paths stay on align_pairs_batched).
+    First-class since round 3 (VERDICT r2 item 8): tracksets ride the same
+    machinery as the single-track hot path — length BUCKETING with padded
+    per-track device stacks uploaded once per stage, INDEXED dispatch (a
+    chunk ships two int32 vectors), batch-grid padding, on-device
+    traceback replay in every mode, and an async in-flight queue.  Results
+    stay bit-identical to ``oracle.align_tracksets`` per pair (rounding of
+    the composite accumulation is pinned; see _composite_indexed_jit).
     """
     import jax
     import jax.numpy as jnp
-
-    from ..oracle.score import composite_pair_score_matrix
-    from .scan import wavefront_dp
-    from .scores import composite_skewed_scores
 
     T = len(matrices)
     if len(weights) != T:
@@ -369,7 +428,20 @@ def align_tracksets_batched(
         raise ValueError("need at least one track")
 
     results: list = [None] * len(pairs)
+    # Register distinct tracksets by identity (one stack row per side).
+    reg_pos: dict[int, int] = {}
+    reg: list[tuple] = []
+
+    def _reg(ts) -> int:
+        k = reg_pos.get(id(ts[0]))
+        if k is None:
+            k = len(reg)
+            reg_pos[id(ts[0])] = k
+            reg.append(ts)
+        return k
+
     groups: dict[tuple[int, int], list[int]] = {}
+    pair_reg: list[tuple[int, int] | None] = [None] * len(pairs)
     for idx, (txs, tys) in enumerate(pairs):
         if len(txs) != T or len(tys) != T:
             raise ValueError("every pair needs one profile per track")
@@ -384,56 +456,98 @@ def align_tracksets_batched(
             continue
         for px, py, m in zip(txs, tys, matrices):
             check_exactness(px, py, m)
-        groups.setdefault((Lx, Ly), []).append(idx)
+        pair_reg[idx] = (_reg(txs), _reg(tys))
+        key = (_bucket(Lx, bucket_sizes), _bucket(Ly, bucket_sizes))
+        groups.setdefault(key, []).append(idx)
 
-    ss = [jnp.asarray(m.as_f32()) for m in matrices]
+    ss = tuple(jnp.asarray(m.as_f32()) for m in matrices)
     w = tuple(float(x) for x in weights)
 
-    for (bx, by), idxs in sorted(groups.items()):
-        xs = [pairs[i][0] for i in idxs]
-        ys = [pairs[i][1] for i in idxs]
-        cxs, ivxs, cys, ivys = [], [], [], []
-        for t in range(T):
-            cx, ivx = _pad_counts([ts[t] for ts in xs], bx)
-            cy, ivy = _pad_counts([ts[t] for ts in ys], by)
-            cxs.append(jnp.asarray(cx))
-            ivxs.append(jnp.asarray(ivx))
-            cys.append(jnp.asarray(cy))
-            ivys.append(jnp.asarray(ivy))
-        lx = np.full(len(idxs), bx, dtype=np.int32)
-        ly = np.full(len(idxs), by, dtype=np.int32)
-        hs = composite_skewed_scores(cxs, ivxs, cys, ivys, ss, w)
-        out = jax.device_get(
-            wavefront_dp(
-                hs, jnp.asarray(lx), jnp.asarray(ly),
-                gap_series=tuple(gap_series), mode=mode, traceback=traceback,
-            )
-        )
-        score = np.asarray(out["score"])
-        length = np.asarray(out["length"])
-        ti = np.asarray(out["ti"])
-        tj = np.asarray(out["tj"])
-        tcode = np.asarray(out["tcode"])
-        if mode == "semiglobal":
-            length = length + (lx - ti) + (ly - tj)
-        for b, idx in enumerate(idxs):
-            if traceback:
-                h = (
-                    composite_pair_score_matrix(
-                        pairs[idx][0], pairs[idx][1], matrices, weights
+    # Per-(bucket, side-set) padded track stacks, built once per call.
+    stack_cache: dict[tuple[int, tuple[int, ...]], tuple] = {}
+
+    def _stacks(b: int, ids: tuple[int, ...]):
+        st = stack_cache.get((b, ids))
+        if st is None:
+            rows = 32
+            while rows < len(ids):
+                rows *= 2
+            lens = np.ones(rows, np.int32)
+            per_track_c, per_track_iv = [], []
+            for t in range(T):
+                profs = [reg[u][t] for u in ids]
+                c, iv = _pad_counts(profs, b)
+                if rows > len(profs):
+                    c = np.concatenate(
+                        [c, np.zeros((rows - len(profs), b, c.shape[2]), c.dtype)]
                     )
-                    if mode == "local"
-                    else None
+                    iv = np.concatenate(
+                        [iv, np.ones((rows - len(profs), b), iv.dtype)]
+                    )
+                per_track_c.append(jnp.asarray(c))
+                per_track_iv.append(jnp.asarray(iv))
+            lens[: len(ids)] = [reg[u][0].length for u in ids]
+            st = (
+                tuple(per_track_c), tuple(per_track_iv), jnp.asarray(lens),
+                lens, {u: r for r, u in enumerate(ids)},
+            )
+            stack_cache[(b, ids)] = st
+        return st
+
+    in_flight: list = []
+
+    def drain(limit: int) -> None:
+        while len(in_flight) > limit:
+            chunk, lx, ly, out = in_flight.pop(0)
+            out = jax.device_get(out)
+            score = np.asarray(out["score"])
+            length = np.asarray(out["length"])
+            ti = np.asarray(out["ti"])
+            tj = np.asarray(out["tj"])
+            if mode == "semiglobal":
+                length = length + (lx - ti) + (ly - tj)
+            for b, idx in enumerate(chunk):
+                if traceback:
+                    results[idx] = moves_to_result(
+                        np.asarray(out["moves"])[b],
+                        int(np.asarray(out["nmoves"])[b]),
+                        float(score[b]), int(ti[b]), int(tj[b]),
+                        int(lx[b]), int(ly[b]), mode,
+                    )
+                else:
+                    results[idx] = PairResult(
+                        float(score[b]), float(length[b]), int(ti[b]), int(tj[b])
+                    )
+
+    for (bx, by), idxs in sorted(groups.items()):
+        ids_x = tuple(sorted({pair_reg[i][0] for i in idxs}))
+        ids_y = tuple(sorted({pair_reg[i][1] for i in idxs}))
+        sxs, ivxs, lensx_d, lensx, pos_x = _stacks(bx, ids_x)
+        sys_, ivys, lensy_d, lensy, pos_y = _stacks(by, ids_y)
+        for start in range(0, len(idxs), batch_pairs):
+            chunk = idxs[start : start + batch_pairs]
+            target = 32
+            while target < len(chunk):
+                target = _grid_step(target)
+            target = min(target, batch_pairs, max(len(chunk), 32))
+            pad = max(0, target - len(chunk))
+            ix = np.array([pos_x[pair_reg[i][0]] for i in chunk], np.int32)
+            iy = np.array([pos_y[pair_reg[i][1]] for i in chunk], np.int32)
+            if pad:
+                ix = np.concatenate([ix, np.full(pad, ix[0], np.int32)])
+                iy = np.concatenate([iy, np.full(pad, iy[0], np.int32)])
+            lx = lensx[ix]
+            ly = lensy[iy]
+            with annotate(f"dispatch:tracks:{bx}x{by}x{len(chunk)}"):
+                out = _composite_indexed_jit()(
+                    sxs, ivxs, lensx_d, sys_, ivys, lensy_d,
+                    jnp.asarray(ix), jnp.asarray(iy), ss,
+                    gap_series=tuple(gap_series), mode=mode,
+                    traceback=traceback, weights=w, steps=bx + by,
                 )
-                results[idx] = replay_traceback(
-                    np.asarray(out["tb"])[:, b, :], h, float(score[b]),
-                    int(ti[b]), int(tj[b]), int(tcode[b]),
-                    int(lx[b]), int(ly[b]), tuple(gap_series), mode,
-                )
-            else:
-                results[idx] = PairResult(
-                    float(score[b]), float(length[b]), int(ti[b]), int(tj[b])
-                )
+            in_flight.append((chunk, lx, ly, out))
+            drain(16)
+    drain(0)
     return results
 
 

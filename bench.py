@@ -153,31 +153,44 @@ def _count_step_lane_ops(gap_series=(11, 1), mode="global",
 
 
 def bench_utilization() -> dict:
-    """Roofline accounting for the headline kernel (VERDICT r2 item 1a):
-    measures the chip's ACHIEVABLE elementwise-VPU rate with a dedicated
-    Pallas chained-op microkernel, counts the DP recurrence's vector ops
-    per cell, and reports the headline dispatch's implied VPU utilization.
+    """Roofline accounting for the headline kernel (VERDICT r2 item 1a).
 
-    The wavefront layout processes D*Lp lane slots for Lx*Ly useful cells
-    (~50% lane occupancy at square shapes) — ``ops_per_cell`` already
-    includes that inflation, so ``vpu_utilization`` is against the
-    measured elementwise roofline, not a theoretical peak."""
+    Measures TWO microbenchmark rooflines with dedicated Pallas kernels:
+
+    * ``vmem``: a dependent elementwise chain over a VMEM-resident row
+      block — every op reads and writes VMEM, so the measured rate IS the
+      achievable VMEM row-traffic bandwidth (the DP's binding resource:
+      each diagonal step re-reads and re-writes its ~10 carried state rows
+      per lane);
+    * ``alu``: independent register-resident accumulator chains (one vreg
+      each) — the achievable elementwise ALU rate with the same
+      instruction mix as the DP's select/compare/add recurrence.
+
+    Then counts the DP's vector ops and state-row bytes per cell (jaxpr
+    inspection + the kernel's scratch-row structure, both including the
+    ~2x wavefront lane-slot inflation at square shapes) and reports the
+    headline dispatch's utilization of each roofline.  The primary value
+    is VMEM utilization — the DP is bandwidth-bound, not ALU-bound."""
     import jax
     import jax.numpy as jnp
     import numpy as np
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    R, C, CHAIN, STEPS = 256, 1024, 64, 256
+    interp = jax.default_backend() != "tpu"
 
-    def vpu_kernel(x_ref, o_ref, acc):
+    # ---- VMEM row-traffic roofline: dependent chain through VMEM ----
+    # Sized so on-chip compute (~0.2-1 s) dwarfs the ~30-80 ms relay
+    # round trip per timed pull.
+    R, C, CHAIN, STEPS = 256, 1024, 64, 2048 if not interp else 2
+
+    def vmem_kernel(x_ref, o_ref, acc):
         @pl.when(pl.program_id(0) == 0)
         def _():
             acc[:, :] = x_ref[:, :]
 
         v = acc[:, :]
-        for i in range(CHAIN):
-            # dependent max/add chain: the VPU's DP-shaped instruction mix
+        for _ in range(CHAIN):
             v = jnp.maximum(v * 0.999, v - 1.0)
         acc[:, :] = v
 
@@ -186,47 +199,90 @@ def bench_utilization() -> dict:
             o_ref[:, :] = acc[:, :]
 
     @jax.jit
-    def run(x):
+    def run_vmem(x):
         return pl.pallas_call(
-            vpu_kernel,
+            vmem_kernel,
             grid=(STEPS,),
             in_specs=[pl.BlockSpec((R, C), lambda i: (0, 0), memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec((R, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((R, C), jnp.float32),
             scratch_shapes=[pltpu.VMEM((R, C), jnp.float32)],
-            interpret=jax.default_backend() != "tpu",
+            interpret=interp,
         )(x)
 
-    x = jnp.ones((R, C), jnp.float32)
-    jax.block_until_ready(run(x))
-    times = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        np.asarray(run(x))[0, 0]
-        times.append(time.perf_counter() - t0)
-    dt = float(np.median(times))
-    # 3 elementwise ops per chain link (mul, sub, max)
-    vpu_ops_per_s = R * C * CHAIN * 3 * STEPS / dt
+    # ---- ALU roofline: independent register-resident chains ----
+    AR, AC, NACC, ACH, ASTEPS = 8, 256, 4, 64, 131072 if not interp else 2
 
-    # DP op accounting: scores mode (the headline), lane-slot inflation
+    def alu_kernel(x_ref, o_ref):
+        accs = [x_ref[:, :] * np.float32(1.0 + 0.125 * i) for i in range(NACC)]
+
+        def body(_, accs):
+            out = []
+            for v in accs:
+                for _ in range(ACH):
+                    v = jnp.maximum(v * 0.999, v - 1.0)
+                out.append(v)
+            return out
+
+        accs = jax.lax.fori_loop(0, ASTEPS, body, accs)
+        acc = accs[0]
+        for v in accs[1:]:
+            acc = acc + v
+        o_ref[:, :] = acc
+
+    @jax.jit
+    def run_alu(x):
+        return pl.pallas_call(
+            alu_kernel,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((AR, AC), jnp.float32),
+            interpret=interp,
+        )(x)
+
+    def timed_median(fn, x, n=5):
+        jax.block_until_ready(fn(x))
+        ts = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            np.asarray(fn(x))[0, 0]
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    dt_v = timed_median(run_vmem, jnp.ones((R, C), jnp.float32))
+    # chain link = read + write of the block once per op (VMEM-resident)
+    vmem_bytes_per_s = R * C * 4 * 2 * CHAIN * STEPS / dt_v
+    dt_a = timed_median(run_alu, jnp.ones((AR, AC), jnp.float32))
+    alu_ops_per_s = AR * AC * NACC * ACH * 3 * ASTEPS / dt_a
+
+    # DP accounting: scores mode (the headline).  Lane-slot inflation
     # D*Lp / (Lx*Ly) ~ 2.002 at the headline's square L=1023 shape.
     ops_per_step_lane = _count_step_lane_ops()
+    from praline_tpu.kernels.pallas_dp import _bytes_per_lane
+
+    # State rows re-read AND re-written each step, plus the hs row read.
+    state_rows = (_bytes_per_lane((11, 1), False, True) // 4) - 4
+    bytes_per_step_lane = (2 * state_rows + 1) * 4
     L = 1023
     inflation = (2 * L + 1 - 2) * (L + 1) / (L * L)
     ops_per_cell = ops_per_step_lane * inflation
+    bytes_per_cell = bytes_per_step_lane * inflation
 
     headline = bench(iters=4)
-    util = headline["value"] * ops_per_cell / vpu_ops_per_s
+    vmem_util = headline["value"] * bytes_per_cell / vmem_bytes_per_s
+    alu_util = headline["value"] * ops_per_cell / alu_ops_per_s
     return {
-        "metric": "vpu_utilization",
-        "value": util,
-        "unit": "fraction of measured elementwise-VPU roofline",
-        "vs_baseline": util,
-        "vpu_roofline_ops_per_s": vpu_ops_per_s,
+        "metric": "vmem_utilization",
+        "value": vmem_util,
+        "unit": "fraction of measured VMEM row-traffic roofline",
+        "vs_baseline": vmem_util,
+        "vmem_roofline_bytes_per_s": vmem_bytes_per_s,
+        "alu_roofline_ops_per_s": alu_ops_per_s,
+        "alu_utilization": alu_util,
         "dp_lane_ops_per_step": ops_per_step_lane,
         "dp_ops_per_cell": ops_per_cell,
+        "dp_bytes_per_cell": bytes_per_cell,
         "headline_cells_per_s": headline["value"],
-        "implied_lane_ops_per_s": headline["value"] * ops_per_cell,
     }
 
 
@@ -485,7 +541,7 @@ def bench_ring() -> dict:
 
     wall = {}
     score = {}
-    for iv in (1, 32):
+    for iv in (1, 8, 32, 128):  # interval sweep (VERDICT r2 item 6)
         r = ring_wavefront_dp(mesh, cx, ivx, cy, ivy, s, lx, ly, interval=iv)
         jax.block_until_ready(r)
         times = []
@@ -495,14 +551,25 @@ def bench_ring() -> dict:
             score[iv] = float(np.asarray(r["score"])[0])
             times.append(time.perf_counter() - t0)
         wall[iv] = float(np.median(times))
-    assert score[1] == score[32], "superstep changed the score"
-    speedup = wall[1] / wall[32]
+    assert len(set(score.values())) == 1, "superstep changed the score"
+    # Checkpointed-traceback ring: the giant-alignment memory bound.
+    t0 = time.perf_counter()
+    rc = ring_wavefront_dp(mesh, cx, ivx, cy, ivy, s, lx, ly, interval=32,
+                           traceback=True, ckpt_interval=256)
+    nmv = int(np.asarray(rc["nmoves"])[0])
+    ckpt_s = time.perf_counter() - t0
+    assert float(np.asarray(rc["score"])[0]) == score[32]
+    assert nmv >= Lx
+    best = min(wall, key=wall.get)
+    speedup = wall[1] / wall[best]
     return {
         "metric": "ring_superstep_speedup_sim8",
         "value": speedup,
-        "unit": "x (per-diagonal exchange / superstepped, 8-device CPU mesh)",
+        "unit": f"x (per-diagonal / best superstep interval={best}, 8-device CPU mesh)",
         "vs_baseline": speedup,
-        "wallclock_s": {"interval_1": round(wall[1], 4), "interval_32": round(wall[32], 4)},
+        "wallclock_s": {f"interval_{iv}": round(t, 4) for iv, t in wall.items()},
+        "ckpt_traceback_s": round(ckpt_s, 4),
+        "ckpt_traceback_moves": nmv,
     }
 
 

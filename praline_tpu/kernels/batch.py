@@ -94,6 +94,10 @@ def _dispatch_core(cx, inv_x, cy, inv_y, s, lx, ly, *, gap_series, mode,
             out_dtype=qd if qd is not None else jnp.float32,
             scaled=qd is None,
         )
+        # unroll stays 1: 8 diagonals per Mosaic grid step gains +6% on
+        # the bare two-kernel (tools/onchip_unroll.py) but its VMEM cost
+        # halves the batch block, and the production super-dispatch
+        # measured neutral-to-slower with it (5.8-5.96 vs 6.06e9 cells/s).
         out = wavefront_dp_pallas(
             hs, lx, ly, gap_series=gap_series, mode=mode,
             traceback=traceback, hs_body=True,
@@ -873,11 +877,11 @@ def align_pairs_batched(
             oversized = False
 
         if stream:
-            # Long-tail path: runs single-device even under a mesh (the
-            # streamed scan has no sharded variant; oversized problems are
-            # rare next to the O(N^2) batched stage).  Batches bounded by
-            # the operand footprint (O(B*L*A) padded count tensors) and,
-            # with traceback, by the tb-bit budget.
+            # Long-tail path: the streamed scan (no hs tensor; any Lx/Ly).
+            # Under a mesh it runs SHARDED over the pair axis (round 3;
+            # the checkpointed giant-tb route stays single-device).
+            # Batches bounded by the operand footprint (O(B*L*A) padded
+            # count tensors) and, with traceback, by the tb-bit budget.
             operand_bytes = (3 * bx + 2 * by) * matrix.alphabet.size * 4
             sub = max(1, min(
                 batch_pairs, _scaled_budget(HS_BYTES_BUDGET) // max(operand_bytes, 1)
@@ -901,10 +905,18 @@ def align_pairs_batched(
                 sub = max(1, min(
                     sub, _scaled_budget(DISPATCH_BYTES_BUDGET) // max(per_ckpt, 1)
                 ))
+            stream_mesh = mesh if not use_ckpt else None
+            n_dev = (
+                int(np.prod(mesh.devices.shape)) if stream_mesh is not None else 1
+            )
             for s0 in range(0, len(idxs), sub):
                 chunk = idxs[s0 : s0 + sub]
                 pxs = [pairs[i][0] for i in chunk]
                 pys = [pairs[i][1] for i in chunk]
+                spad = (-len(chunk)) % n_dev  # shard-divisible batch
+                if spad:
+                    pxs = pxs + [pxs[0]] * spad
+                    pys = pys + [pys[0]] * spad
                 cx, inv_x = _pad_counts(pxs, bx)
                 cy, inv_y = _pad_counts(pys, by)
                 lx = np.array([p.length for p in pxs], dtype=np.int32)
@@ -917,6 +929,31 @@ def align_pairs_batched(
                             s_dev, jnp.asarray(lx), jnp.asarray(ly),
                             gap_series=tuple(gap_series), mode=mode,
                             interval=Rg,
+                        )
+                elif stream_mesh is not None:
+                    from ..dist.allpairs import sharded_streamed_dispatch
+
+                    operands = (cx, inv_x, cy, inv_y, np.asarray(matrix.as_f32()), lx, ly)
+                    if _mesh_spans_processes(stream_mesh):
+                        from jax.sharding import PartitionSpec as P
+
+                        pp = P("pairs")
+                        operands = tuple(
+                            _globalize(stream_mesh, a, spec)
+                            for a, spec in zip(
+                                operands,
+                                (P("pairs", None, None), P("pairs", None),
+                                 P("pairs", None, None), P("pairs", None),
+                                 P(), pp, pp),
+                            )
+                        )
+                    with annotate(
+                        f"dispatch:streamed-sharded:{bx}x{by}x{len(chunk)}"
+                    ):
+                        out = sharded_streamed_dispatch(
+                            stream_mesh, *operands,
+                            gap_series=tuple(gap_series), mode=mode,
+                            traceback=traceback, replay=device_replay,
                         )
                 else:
                     with annotate(f"dispatch:streamed:{bx}x{by}x{len(chunk)}"):
@@ -1027,9 +1064,10 @@ def align_pairs_batched(
         # Super-dispatch: runs of same-shape chunks collapse into one
         # scan-of-n_sub jit — the per-dispatch relay round trip (~29 ms
         # measured, tools/onchip_superdispatch.py) is paid once per group.
-        # Mesh-less, scores/device-replay modes only (stacked raw tb
-        # tensors would multiply the HBM footprint).
-        super_ok = mesh is None and not (traceback and not device_replay)
+        # Scores/device-replay modes only (stacked raw tb tensors would
+        # multiply the HBM footprint); under a mesh the same scan body
+        # runs inside shard_map (dist.allpairs).
+        super_ok = not (traceback and not device_replay)
         di = 0
         while di < len(indexed_descs):
             chunk, pxs, pys, ix, iy, lx, ly = indexed_descs[di]
@@ -1045,11 +1083,34 @@ def align_pairs_batched(
                 grp = indexed_descs[di : di + n_sub]
                 ix2 = np.stack([d[3] for d in grp])
                 iy2 = np.stack([d[4] for d in grp])
-                with annotate(f"dispatch:super{n_sub}:{bx}x{by}x{len(ix)}"):
-                    out = _indexed_multi_jit()(
-                        *stacks, jnp.asarray(ix2), jnp.asarray(iy2), s_dev,
-                        **static,
-                    )
+                if mesh is not None:
+                    from jax.sharding import PartitionSpec as P
+
+                    from ..dist.allpairs import sharded_indexed_multi_dispatch
+
+                    ops = stacks + (ix2, iy2, s_dev)
+                    if _mesh_spans_processes(mesh):
+                        pp = P(None, "pairs")
+                        ops = tuple(
+                            _globalize(mesh, a, spec)
+                            for a, spec in zip(
+                                ops, (P(), P(), P(), P(), P(), P(), pp, pp, P())
+                            )
+                        )
+                    else:
+                        ops = stacks + (jnp.asarray(ix2), jnp.asarray(iy2), s_dev)
+                    with annotate(
+                        f"dispatch:super{n_sub}-sharded:{bx}x{by}x{len(ix)}"
+                    ):
+                        out = sharded_indexed_multi_dispatch(
+                            mesh, *ops, **static
+                        )
+                else:
+                    with annotate(f"dispatch:super{n_sub}:{bx}x{by}x{len(ix)}"):
+                        out = _indexed_multi_jit()(
+                            *stacks, jnp.asarray(ix2), jnp.asarray(iy2), s_dev,
+                            **static,
+                        )
                 in_flight.append((
                     [d[0] for d in grp], None, None,
                     [d[5] for d in grp], [d[6] for d in grp], out,

@@ -131,3 +131,91 @@ def test_sharded_pallas_traceback_matches_unsharded():
         assert a.score == b.score
         np.testing.assert_array_equal(a.cols_x, b.cols_x)
         np.testing.assert_array_equal(a.cols_y, b.cols_y)
+
+
+def test_streamed_route_sharded_under_mesh(monkeypatch):
+    """Oversized (streamed-route) problems shard over the mesh's pair axis
+    instead of running single-device (VERDICT r2 weak #4), every mode,
+    bit-equal to the oracle."""
+    import numpy as np
+
+    from praline_tpu import ALPHABET_AA
+    from praline_tpu.dist import make_pair_mesh
+    from praline_tpu.kernels import batch as batch_mod
+    from praline_tpu.oracle import align_profiles
+    from praline_tpu.types import Profile
+
+    monkeypatch.setattr(batch_mod, "_lane_cap", lambda gs, tb: 20)  # force stream
+    rng = np.random.default_rng(21)
+
+    def one(L):
+        return Profile.from_tokens(
+            rng.integers(0, 20, size=L).astype(np.int32), ALPHABET_AA
+        )
+
+    pairs = [(one(int(rng.integers(24, 40))), one(int(rng.integers(10, 30))))
+             for _ in range(5)]  # 5 pairs over 4 devices: exercises shard pad
+    mesh = make_pair_mesh(4)
+    for mode in ("global", "semiglobal", "local"):
+        got = align_pairs_batched(
+            pairs, B62, (11, 1), mode, traceback=True,
+            bucket_sizes=(15, 63), mesh=mesh, backend="pallas",
+        )
+        for (px, py), r in zip(pairs, got):
+            want = align_profiles(px, py, B62, (11, 1), mode)
+            assert r.score == want.score, mode
+            np.testing.assert_array_equal(r.cols_x, want.cols_x)
+            np.testing.assert_array_equal(r.cols_y, want.cols_y)
+
+
+def test_sharded_super_dispatch_groups_chunks(monkeypatch):
+    """Identical-shape chunks under a mesh collapse into ONE sharded
+    scan-of-n jit (dist.sharded_indexed_multi_dispatch), results bit-equal
+    to the unsharded driver."""
+    import numpy as np
+
+    from praline_tpu import ALPHABET_AA
+    from praline_tpu.dist import make_pair_mesh
+    from praline_tpu.dist import allpairs as ap_mod
+    from praline_tpu.kernels import batch as batch_mod
+    from praline_tpu.kernels.batch import per_problem_bytes
+    from praline_tpu.types import Profile
+
+    rng = np.random.default_rng(23)
+
+    def one(L):
+        return Profile.from_tokens(
+            rng.integers(0, 20, size=L).astype(np.int32), ALPHABET_AA
+        )
+
+    pairs = [(one(int(rng.integers(5, 64))), one(int(rng.integers(5, 64))))
+             for _ in range(128)]
+    hs_bytes, tb_bytes = per_problem_bytes(63, 63)
+    monkeypatch.setattr(
+        batch_mod, "DISPATCH_BYTES_BUDGET", 33 * (hs_bytes + tb_bytes)
+    )
+
+    calls = []
+    real = ap_mod.sharded_indexed_multi_dispatch
+
+    def spy(mesh, *a, **k):
+        calls.append(tuple(a[6].shape))  # ix2: (n_sub, B)
+        return real(mesh, *a, **k)
+
+    monkeypatch.setattr(batch_mod, "_mesh_spans_processes", lambda m: False)
+    import praline_tpu.dist.allpairs as _ap
+    monkeypatch.setattr(_ap, "sharded_indexed_multi_dispatch", spy)
+
+    mesh = make_pair_mesh(4)
+    got = align_pairs_batched(
+        pairs, B62, (11, 1), "global", traceback=True, bucket_sizes=(63,),
+        batch_pairs=1024, mesh=mesh,
+    )
+    plain = align_pairs_batched(
+        pairs, B62, (11, 1), "global", traceback=True, bucket_sizes=(63,),
+        batch_pairs=1024,
+    )
+    assert calls == [(4, 32)], calls
+    for a, b in zip(got, plain):
+        assert a.score == b.score
+        np.testing.assert_array_equal(a.cols_x, b.cols_x)

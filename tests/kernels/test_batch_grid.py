@@ -164,3 +164,48 @@ def test_mxu_precision_env_override(monkeypatch):
                                bucket_sizes=(31,), backend="pallas")
     for a, b in zip(fast, slow):
         assert a.score == b.score and a.length == b.length
+
+
+def test_mxu_precision_gate_boundaries(monkeypatch):
+    """The fast-MXU gate must trip to "highest" the moment any exactness
+    bound is violated: counts past bf16-exact 256, totals past 2**15/|S|,
+    or the pair product bound past 2**24 minus the split margin."""
+    import numpy as np
+
+    from praline_tpu import ALPHABET_AA, builtin_score_matrix
+    from praline_tpu.kernels import align_pairs_batched
+    from praline_tpu.kernels import batch as batch_mod
+    from praline_tpu.types import Profile
+
+    m = builtin_score_matrix("blosum62")
+    max_s = float(np.abs(m.scores).max())
+    seen = []
+    real = batch_mod._indexed_jit
+
+    def spy():
+        fn = real()
+
+        def wrapper(*a, **k):
+            seen.append(k.get("mxp"))
+            return fn(*a, **k)
+
+        return wrapper
+
+    monkeypatch.setattr(batch_mod, "_indexed_jit", spy)
+
+    def prof(val, ncols=2):
+        c = np.zeros((8, 23), np.float32)
+        c[:, :ncols] = val
+        return Profile(c, np.zeros(8, np.float32), ALPHABET_AA)
+
+    def run(px, py):
+        seen.clear()
+        align_pairs_batched([(px, py)], m, (11, 1), "global",
+                            bucket_sizes=(15,), backend="pallas")
+        return seen[-1]
+
+    assert run(prof(3), prof(3)) == "fast"
+    assert run(prof(257), prof(3)) == "highest"  # count past bf16-exact
+    # column total past the 2**15 T bound (counts stay <= 256)
+    big_tot = prof(256, ncols=14)  # total 3584 > 32768/11 ~ 2978
+    assert run(big_tot, prof(3)) == "highest"

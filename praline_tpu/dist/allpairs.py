@@ -278,3 +278,42 @@ def sharded_streamed_dispatch(mesh, cx, inv_x, cy, inv_y, s, lx, ly, *,
     key = _register_mesh(mesh)
     fn = _build_streamed(key, tuple(gap_series), mode, traceback, replay)
     return fn(cx, inv_x, cy, inv_y, s, lx, ly)
+
+
+@functools.lru_cache(maxsize=32)
+def _build_ckpt(mesh_key, gap_series, mode, interval):
+    """Sharded CHECKPOINTED giant-traceback dispatch: the O(L^1.5)-memory
+    walk (kernels.scan.wavefront_dp_checkpointed) runs per shard with the
+    pair axis sharded; only compact move tapes gather back."""
+    mesh = _MESHES[mesh_key]
+    from ..kernels.scan import wavefront_dp_checkpointed
+
+    in_specs = (
+        P(PAIR_AXIS, None, None), P(PAIR_AXIS, None),
+        P(PAIR_AXIS, None, None), P(PAIR_AXIS, None),
+        P(None, None), P(PAIR_AXIS), P(PAIR_AXIS),
+    )
+    out_specs = {k: P() for k in ("score", "length", "ti", "tj", "tcode",
+                                  "moves", "nmoves")}
+
+    def run(cx, inv_x, cy, inv_y, s, lx, ly):
+        out = wavefront_dp_checkpointed(
+            cx, inv_x, cy, inv_y, s, lx, ly,
+            gap_series=gap_series, mode=mode, interval=interval,
+        )
+        return {
+            k: jax.lax.all_gather(v, PAIR_AXIS, axis=0, tiled=True)
+            for k, v in out.items()
+        }
+
+    fn = shard_map(run, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                   check_vma=False)
+    return jax.jit(fn)
+
+
+def sharded_ckpt_dispatch(mesh, cx, inv_x, cy, inv_y, s, lx, ly, *,
+                          gap_series, mode, interval):
+    """Checkpointed-traceback batched DP with the pair axis sharded."""
+    key = _register_mesh(mesh)
+    fn = _build_ckpt(key, tuple(gap_series), mode, int(interval))
+    return fn(cx, inv_x, cy, inv_y, s, lx, ly)

@@ -882,8 +882,8 @@ def align_pairs_batched(
 
         if stream:
             # Long-tail path: the streamed scan (no hs tensor; any Lx/Ly).
-            # Under a mesh it runs SHARDED over the pair axis (round 3;
-            # the checkpointed giant-tb route stays single-device).
+            # Under a mesh BOTH it and the checkpointed giant-tb walk run
+            # SHARDED over the pair axis (round 3).
             # Batches bounded by the operand footprint (O(B*L*A) padded
             # count tensors) and, with traceback, by the tb-bit budget.
             operand_bytes = (3 * bx + 2 * by) * matrix.alphabet.size * 4
@@ -909,7 +909,7 @@ def align_pairs_batched(
                 sub = max(1, min(
                     sub, _scaled_budget(DISPATCH_BYTES_BUDGET) // max(per_ckpt, 1)
                 ))
-            stream_mesh = mesh if not use_ckpt else None
+            stream_mesh = mesh
             n_dev = (
                 int(np.prod(mesh.devices.shape)) if stream_mesh is not None else 1
             )
@@ -925,7 +925,32 @@ def align_pairs_batched(
                 cy, inv_y = _pad_counts(pys, by)
                 lx = np.array([p.length for p in pxs], dtype=np.int32)
                 ly = np.array([p.length for p in pys], dtype=np.int32)
-                if use_ckpt:
+                if use_ckpt and stream_mesh is not None:
+                    from ..dist.allpairs import sharded_ckpt_dispatch
+
+                    operands = (cx, inv_x, cy, inv_y, np.asarray(matrix.as_f32()), lx, ly)
+                    if _mesh_spans_processes(stream_mesh):
+                        from jax.sharding import PartitionSpec as P
+
+                        pp = P("pairs")
+                        operands = tuple(
+                            _globalize(stream_mesh, a, spec)
+                            for a, spec in zip(
+                                operands,
+                                (P("pairs", None, None), P("pairs", None),
+                                 P("pairs", None, None), P("pairs", None),
+                                 P(), pp, pp),
+                            )
+                        )
+                    with annotate(
+                        f"dispatch:ckpt-sharded:{bx}x{by}x{len(chunk)}"
+                    ):
+                        out = sharded_ckpt_dispatch(
+                            stream_mesh, *operands,
+                            gap_series=tuple(gap_series), mode=mode,
+                            interval=Rg,
+                        )
+                elif use_ckpt:
                     with annotate(f"dispatch:ckpt-tb:{bx}x{by}x{len(chunk)}"):
                         out = wavefront_dp_checkpointed(
                             jnp.asarray(cx), jnp.asarray(inv_x),

@@ -219,3 +219,39 @@ def test_sharded_super_dispatch_groups_chunks(monkeypatch):
     for a, b in zip(got, plain):
         assert a.score == b.score
         np.testing.assert_array_equal(a.cols_x, b.cols_x)
+
+
+def test_ckpt_route_sharded_under_mesh(monkeypatch):
+    """Giant-traceback (checkpointed-route) problems also shard over the
+    pair axis under a mesh, bit-equal to the oracle (round 3: the last
+    single-device-only route)."""
+    import numpy as np
+
+    from praline_tpu import ALPHABET_AA
+    from praline_tpu.dist import make_pair_mesh
+    from praline_tpu.kernels import batch as batch_mod
+    from praline_tpu.oracle import align_profiles
+    from praline_tpu.types import Profile
+
+    monkeypatch.setattr(batch_mod, "_lane_cap", lambda gs, tb: 20)
+    monkeypatch.setattr(batch_mod, "TB_BYTES_BUDGET", 64)  # force ckpt route
+    rng = np.random.default_rng(29)
+
+    def one(L):
+        return Profile.from_tokens(
+            rng.integers(0, 20, size=L).astype(np.int32), ALPHABET_AA
+        )
+
+    pairs = [(one(int(rng.integers(24, 40))), one(int(rng.integers(10, 30))))
+             for _ in range(3)]  # 3 pairs over 4 devices: shard pad too
+    mesh = make_pair_mesh(4)
+    for mode in ("global", "local"):
+        got = align_pairs_batched(
+            pairs, B62, (11, 1), mode, traceback=True,
+            bucket_sizes=(15, 63), mesh=mesh, backend="pallas",
+        )
+        for (px, py), r in zip(pairs, got):
+            want = align_profiles(px, py, B62, (11, 1), mode)
+            assert r.score == want.score, mode
+            np.testing.assert_array_equal(r.cols_x, want.cols_x)
+            np.testing.assert_array_equal(r.cols_y, want.cols_y)

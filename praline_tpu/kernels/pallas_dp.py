@@ -373,6 +373,10 @@ def _make_kernel(grid_d, Bblk, Lp, k, gap_series, mode, lengths, traceback,
                               codes_x=codes_x, codes_y=codes_y)
 
             # ---- terminal tracking ----
+            # NOTE: gating this under pl.when(jnp.any(pick)) — terminals
+            # land on <= Bblk of the D steps — measured 12% SLOWER end to
+            # end on the v5e (6.45 vs 7.3e9 cells/s): the per-step scf.if
+            # costs Mosaic more than the masked reduce it skips.
             if mode == "global":
                 pick = d == (lx + ly)  # (Bblk, 1)
                 mask = lane == lx

@@ -34,7 +34,7 @@ def _tree(seqs, cfg):
     return pp, build_guide_tree(sim, cfg.linkage)
 
 
-@pytest.mark.parametrize("mode", ["global", "semiglobal"])
+@pytest.mark.parametrize("mode", ["global", "semiglobal", "local"])
 def test_device_merge_engages_and_matches_oracle(mode):
     seqs = _family()
     cfg = PralineConfig(merge_mode=mode, backend="xla")
@@ -45,14 +45,24 @@ def test_device_merge_engages_and_matches_oracle(mode):
     assert pt.format_alignment_fasta(merged) == pt.format_alignment_fasta(want)
 
 
-def test_local_mode_falls_back():
-    seqs = _family()
+def test_divergent_local_merges_match_oracle():
+    """Local merges with weakly-related members (short segments, empty
+    paths possible) take the device walk and stay byte-equal."""
+    rng = np.random.default_rng(11)
+    seqs = [
+        Sequence(f"r{i}", rng.integers(0, 20, size=int(rng.integers(12, 40))).astype(np.int32),
+                 pt.ALPHABET_AA)
+        for i in range(8)
+    ]
     cfg = PralineConfig(merge_mode="local", backend="xla")
     pp, tree = _tree(seqs, cfg)
-    assert dm.try_device_merge(pp, tree, B62, cfg) is None
+    merged = dm.try_device_merge(pp, tree, B62, cfg)
+    assert merged is not None
+    want = oracle_msa(seqs, B62, cfg)
+    assert pt.format_alignment_fasta(merged) == pt.format_alignment_fasta(want)
 
 
-@pytest.mark.parametrize("mode", ["global", "semiglobal"])
+@pytest.mark.parametrize("mode", ["global", "semiglobal", "local"])
 def test_streamed_rung_matches_materialized(monkeypatch, mode):
     """The >4095-column rung swaps in the streamed producer; forcing it at
     a small capacity must not change a single byte."""

@@ -46,14 +46,15 @@ def _fused_dp_enabled() -> bool:
     """Routing gate for the fully fused producer+DP scores kernel.
 
     Bit-parity with the two-kernel path is verified both CPU-side (tests)
-    and COMPILED ON CHIP (tools/onchip_fused_validation.py, 2026-08-18:
-    terminals + tb bits, all modes/gap series). Measured on the v5e the
-    fused kernel is ~15-17% SLOWER than the two-kernel path in both modes
-    (scores 2.11 vs 2.55e9 cells/s at B=512 L=1023; traceback 0.43 vs
-    0.50e9 at B=256 L=511) — the DMA-shaped producer + hs_body DP pipeline
-    better than one serialized Mosaic kernel. Default is therefore OFF on
-    TPU (two-kernel wins) and ON elsewhere (keeps the fused path under
-    test coverage); PRALINE_FUSED_DP=0/1 overrides."""
+    and COMPILED ON CHIP (tools/onchip_parity.py, PRALINE_PERF gate:
+    terminals + tb bits, all modes/gap series). Re-measured in round 3
+    AFTER the 3-state collapse: fused is still 21% slower in scores mode
+    (3.40 vs 4.29e9 cells/s at B=1024 L=1023) and ~equal in traceback mode
+    (0.48 vs 0.49e9) — its BBLK=8 batch block starves the DP half, and the
+    DMA-shaped producer + hs_body DP pipeline better as two kernels.
+    Default is therefore OFF on TPU (two-kernel wins) and ON elsewhere
+    (keeps the fused path under test coverage); PRALINE_FUSED_DP=0/1
+    overrides."""
     import os
 
     import jax

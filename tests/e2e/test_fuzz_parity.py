@@ -90,3 +90,47 @@ def test_roundtrip_fasta_clustal(trial):
         row = aln.alphabet.detokenize(aln.rows[k])
         assert texts[m.name] == row
         assert back.alphabet.detokenize(back.rows[k]) == row
+
+
+@pytest.mark.parametrize("trial", range(6))
+def test_heavy_count_profiles_column_identical(trial):
+    """Fuzz with HEAVY integer-count profile pairs straddling the fast-MXU
+    precision bounds (counts near 256, column totals spanning the 2**15/|S|
+    and 2**24 gates): the driver's routing must stay bit-identical to the
+    oracle whichever precision it picks."""
+    from praline_tpu.kernels import align_pairs_batched
+    from praline_tpu.oracle import align_profiles
+    from praline_tpu.types import Profile
+
+    rng = np.random.default_rng(7000 + trial)
+    m = builtin_score_matrix(MATRICES[trial % len(MATRICES)])
+
+    def heavy(L, cmax, ncols):
+        c = np.zeros((L, 23), np.float32)
+        for pos in range(L):
+            for a in rng.permutation(23)[:ncols]:
+                c[pos, a] = int(rng.integers(1, cmax + 1))
+        return Profile(c, np.zeros(L, np.float32), ALPHABET_AA)
+
+    # Mix of light (fast-eligible) and heavy (HIGHEST-forced) pairs.
+    pairs = []
+    for _ in range(6):
+        kind = rng.integers(0, 3)
+        Lx, Ly = int(rng.integers(5, 30)), int(rng.integers(5, 30))
+        if kind == 0:  # light: counts <= 8
+            pairs.append((heavy(Lx, 8, 3), heavy(Ly, 8, 3)))
+        elif kind == 1:  # counts at the bf16-exact edge
+            pairs.append((heavy(Lx, 256, 2), heavy(Ly, 4, 2)))
+        else:  # counts past the edge -> HIGHEST
+            pairs.append((heavy(Lx, 300, 2), heavy(Ly, 3, 2)))
+    mode = MODES[trial % 3]
+    gs = GAPS[trial % len(GAPS)]
+    got = align_pairs_batched(
+        pairs, m, gs, mode, traceback=True, bucket_sizes=(31,),
+        backend="pallas",
+    )
+    for (px, py), r in zip(pairs, got):
+        want = align_profiles(px, py, m, gs, mode)
+        assert r.score == want.score
+        np.testing.assert_array_equal(r.cols_x, want.cols_x)
+        np.testing.assert_array_equal(r.cols_y, want.cols_y)

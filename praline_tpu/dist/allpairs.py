@@ -317,3 +317,47 @@ def sharded_ckpt_dispatch(mesh, cx, inv_x, cy, inv_y, s, lx, ly, *,
     key = _register_mesh(mesh)
     fn = _build_ckpt(key, tuple(gap_series), mode, int(interval))
     return fn(cx, inv_x, cy, inv_y, s, lx, ly)
+
+
+@functools.lru_cache(maxsize=32)
+def _build_tracks(mesh_key, gap_series, mode, traceback, weights, steps, T):
+    """Sharded MULTI-TRACK dispatch: the composite indexed body
+    (kernels.batch.composite_dispatch_body) inside shard_map with the pair
+    axis sharded; per-track stacks replicate, index vectors shard, and
+    terminals + move tapes gather back."""
+    mesh = _MESHES[mesh_key]
+    from ..kernels.batch import composite_dispatch_body
+
+    rep = P()
+    reps = tuple(rep for _ in range(T))
+    in_specs = (reps, reps, rep, reps, reps, rep,
+                P(PAIR_AXIS), P(PAIR_AXIS), reps)
+    out_specs = {k: rep for k in ("score", "length", "ti", "tj", "tcode")}
+    if traceback:
+        out_specs["moves"] = rep
+        out_specs["nmoves"] = rep
+
+    def run(sxs, ivxs, lensx, sys_, ivys, lensy, ix, iy, ss):
+        out = composite_dispatch_body(
+            sxs, ivxs, lensx, sys_, ivys, lensy, ix, iy, ss,
+            gap_series=gap_series, mode=mode, traceback=traceback,
+            weights=weights, steps=steps,
+        )
+        return {
+            k: jax.lax.all_gather(v, PAIR_AXIS, axis=0, tiled=True)
+            for k, v in out.items()
+        }
+
+    fn = shard_map(run, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                   check_vma=False)
+    return jax.jit(fn)
+
+
+def sharded_tracks_dispatch(mesh, sxs, ivxs, lensx, sys_, ivys, lensy,
+                            ix, iy, ss, *, gap_series, mode, traceback,
+                            weights, steps):
+    """Multi-track composite batched DP with the pair axis sharded."""
+    key = _register_mesh(mesh)
+    fn = _build_tracks(key, tuple(gap_series), mode, traceback,
+                       tuple(weights), int(steps), len(ss))
+    return fn(sxs, ivxs, lensx, sys_, ivys, lensy, ix, iy, ss)

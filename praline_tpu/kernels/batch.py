@@ -340,63 +340,68 @@ def _snap_batch(cap: int, batch_pairs: int) -> int:
     return min(b, batch_pairs)
 
 
-@functools.lru_cache(maxsize=1)
-def _composite_indexed_jit():
-    """Indexed multi-track dispatch: per-track profile stacks live on
+def composite_dispatch_body(sxs, ivxs, lensx, sys_, ivys, lensy, ix, iy,
+                            ss, *, gap_series, mode, traceback, weights,
+                            steps):
+    """Indexed multi-track dispatch body: per-track profile stacks live on
     device, a chunk ships two int32 index vectors, and the composite
     skewed score tensor accumulates per track with PINNED rounding — the
     per-track weighted terms stack across a ``lax.scan`` boundary (a real
     buffer across the while loop), so XLA cannot FMA-contract a term's
     multiply into the running add (the exact hazard
     kernels.scores.composite_skewed_scores documents).  Traceback replays
-    on device in every mode (bit 7 carries the local stop rule)."""
+    on device in every mode (bit 7 carries the local stop rule).  Shared
+    by the single-device jit and the sharded mesh path
+    (dist.allpairs.sharded_tracks_dispatch)."""
     import jax
     import jax.numpy as jnp
 
     from .scan import wavefront_dp
     from .scores import skewed_pair_scores
 
-    @functools.partial(
-        jax.jit,
+    lx = jnp.take(lensx, ix)
+    ly = jnp.take(lensy, iy)
+    terms = []
+    for t, w in enumerate(weights):
+        cx = jnp.take(sxs[t], ix, axis=0).astype(jnp.float32)
+        ivx = jnp.take(ivxs[t], ix, axis=0)
+        cy = jnp.take(sys_[t], iy, axis=0).astype(jnp.float32)
+        ivy = jnp.take(ivys[t], iy, axis=0)
+        terms.append(
+            jnp.float32(w) * skewed_pair_scores(cx, ivx, cy, ivy, ss[t])
+        )
+    if len(terms) == 1:
+        hs = terms[0]
+    else:
+        # Accumulate in track order through a scan: each add rounds on
+        # a materialized term, bit-identical to the per-op-dispatch
+        # oracle accumulation.
+        hs, _ = jax.lax.scan(
+            lambda acc, term: (acc + term, None),
+            terms[0], jnp.stack(terms[1:]),
+        )
+    out = wavefront_dp(
+        hs, lx, ly, gap_series=gap_series, mode=mode, traceback=traceback
+    )
+    if traceback:
+        moves, nmoves = replay_moves(
+            out["tb"], out["ti"], out["tj"], out["tcode"],
+            gap_series=gap_series, mode=mode, steps=steps,
+        )
+        out = {k: v for k, v in out.items() if k != "tb"}
+        out["moves"] = moves
+        out["nmoves"] = nmoves
+    return out
+
+
+@functools.lru_cache(maxsize=1)
+def _composite_indexed_jit():
+    import jax
+
+    return jax.jit(
+        composite_dispatch_body,
         static_argnames=("gap_series", "mode", "traceback", "weights", "steps"),
     )
-    def run(sxs, ivxs, lensx, sys_, ivys, lensy, ix, iy, ss, *, gap_series,
-            mode, traceback, weights, steps):
-        lx = jnp.take(lensx, ix)
-        ly = jnp.take(lensy, iy)
-        terms = []
-        for t, w in enumerate(weights):
-            cx = jnp.take(sxs[t], ix, axis=0).astype(jnp.float32)
-            ivx = jnp.take(ivxs[t], ix, axis=0)
-            cy = jnp.take(sys_[t], iy, axis=0).astype(jnp.float32)
-            ivy = jnp.take(ivys[t], iy, axis=0)
-            terms.append(
-                jnp.float32(w) * skewed_pair_scores(cx, ivx, cy, ivy, ss[t])
-            )
-        if len(terms) == 1:
-            hs = terms[0]
-        else:
-            # Accumulate in track order through a scan: each add rounds on
-            # a materialized term, bit-identical to the per-op-dispatch
-            # oracle accumulation.
-            hs, _ = jax.lax.scan(
-                lambda acc, term: (acc + term, None),
-                terms[0], jnp.stack(terms[1:]),
-            )
-        out = wavefront_dp(
-            hs, lx, ly, gap_series=gap_series, mode=mode, traceback=traceback
-        )
-        if traceback:
-            moves, nmoves = replay_moves(
-                out["tb"], out["ti"], out["tj"], out["tcode"],
-                gap_series=gap_series, mode=mode, steps=steps,
-            )
-            out = {k: v for k, v in out.items() if k != "tb"}
-            out["moves"] = moves
-            out["nmoves"] = nmoves
-        return out
-
-    return run
 
 
 def align_tracksets_batched(
@@ -409,6 +414,7 @@ def align_tracksets_batched(
     traceback: bool = False,
     bucket_sizes: tuple[int, ...] = (63, 127, 255, 511, 1023, 2047),
     batch_pairs: int = 256,
+    mesh=None,
 ) -> list:
     """Batched MULTI-TRACK composite alignment (SURVEY.md C4, §8.1).
 
@@ -537,6 +543,9 @@ def align_tracksets_batched(
             while target < len(chunk):
                 target = _grid_step(target)
             target = min(target, batch_pairs, max(len(chunk), 32))
+            if mesh is not None:
+                n_dev = int(np.prod(mesh.devices.shape))
+                target = target + (-target) % n_dev
             pad = max(0, target - len(chunk))
             ix = np.array([pos_x[pair_reg[i][0]] for i in chunk], np.int32)
             iy = np.array([pos_y[pair_reg[i][1]] for i in chunk], np.int32)
@@ -545,13 +554,24 @@ def align_tracksets_batched(
                 iy = np.concatenate([iy, np.full(pad, iy[0], np.int32)])
             lx = lensx[ix]
             ly = lensy[iy]
-            with annotate(f"dispatch:tracks:{bx}x{by}x{len(chunk)}"):
-                out = _composite_indexed_jit()(
-                    sxs, ivxs, lensx_d, sys_, ivys, lensy_d,
-                    jnp.asarray(ix), jnp.asarray(iy), ss,
-                    gap_series=tuple(gap_series), mode=mode,
-                    traceback=traceback, weights=w, steps=bx + by,
-                )
+            static = dict(
+                gap_series=tuple(gap_series), mode=mode,
+                traceback=traceback, weights=w, steps=bx + by,
+            )
+            if mesh is not None:
+                from ..dist.allpairs import sharded_tracks_dispatch
+
+                with annotate(f"dispatch:tracks-sharded:{bx}x{by}x{len(chunk)}"):
+                    out = sharded_tracks_dispatch(
+                        mesh, sxs, ivxs, lensx_d, sys_, ivys, lensy_d,
+                        jnp.asarray(ix), jnp.asarray(iy), ss, **static,
+                    )
+            else:
+                with annotate(f"dispatch:tracks:{bx}x{by}x{len(chunk)}"):
+                    out = _composite_indexed_jit()(
+                        sxs, ivxs, lensx_d, sys_, ivys, lensy_d,
+                        jnp.asarray(ix), jnp.asarray(iy), ss, **static,
+                    )
             in_flight.append((chunk, lx, ly, out))
             drain(16)
     drain(0)

@@ -142,3 +142,28 @@ def test_batched_tracksets_ragged_buckets_async(mode):
         assert r.score == want.score
         np.testing.assert_array_equal(r.cols_x, want.cols_x)
         np.testing.assert_array_equal(r.cols_y, want.cols_y)
+
+
+def test_batched_tracksets_sharded_matches_plain():
+    """Multi-track dispatch under a mesh (pair axis sharded) is bit-equal
+    to the unsharded driver and the oracle."""
+    from praline_tpu.dist import make_pair_mesh
+
+    rng = np.random.default_rng(23)
+    mats, w = [B62, PAM], (1.0, 0.25)
+    pairs = []
+    for _ in range(7):  # 7 pairs over 4 devices: shard padding too
+        Lx, Ly = int(rng.integers(4, 30)), int(rng.integers(4, 30))
+        pairs.append(
+            ((_prof(rng, Lx), _prof(rng, Lx)), (_prof(rng, Ly), _prof(rng, Ly)))
+        )
+    mesh = make_pair_mesh(4)
+    got = align_tracksets_batched(
+        pairs, mats, w, (11, 1), "semiglobal", traceback=True,
+        bucket_sizes=(31,), mesh=mesh,
+    )
+    for (txs, tys), r in zip(pairs, got):
+        want = align_tracksets(txs, tys, mats, w, (11, 1), "semiglobal")
+        assert r.score == want.score
+        np.testing.assert_array_equal(r.cols_x, want.cols_x)
+        np.testing.assert_array_equal(r.cols_y, want.cols_y)

@@ -404,6 +404,33 @@ def _composite_indexed_jit():
     )
 
 
+@functools.lru_cache(maxsize=1)
+def _composite_multi_jit():
+    """Trackset super-dispatch: lax.scan of n_sub sub-batches of the
+    composite body in one jit (same latency amortization as
+    _indexed_multi_jit); outputs gain a leading (n_sub,) axis."""
+    import jax
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=("gap_series", "mode", "traceback", "weights", "steps"),
+    )
+    def run(sxs, ivxs, lensx, sys_, ivys, lensy, ix2, iy2, ss, *, gap_series,
+            mode, traceback, weights, steps):
+        def body(_, xs):
+            ix, iy = xs
+            return 0, composite_dispatch_body(
+                sxs, ivxs, lensx, sys_, ivys, lensy, ix, iy, ss,
+                gap_series=gap_series, mode=mode, traceback=traceback,
+                weights=weights, steps=steps,
+            )
+
+        _, outs = jax.lax.scan(body, 0, (ix2, iy2))
+        return outs
+
+    return run
+
+
 def align_tracksets_batched(
     pairs,
     matrices,
@@ -509,34 +536,43 @@ def align_tracksets_batched(
 
     in_flight: list = []
 
+    def _unpack_tracks(chunk, lx, ly, out) -> None:
+        score = np.asarray(out["score"])
+        length = np.asarray(out["length"])
+        ti = np.asarray(out["ti"])
+        tj = np.asarray(out["tj"])
+        if mode == "semiglobal":
+            length = length + (lx - ti) + (ly - tj)
+        for b, idx in enumerate(chunk):
+            if traceback:
+                results[idx] = moves_to_result(
+                    np.asarray(out["moves"])[b],
+                    int(np.asarray(out["nmoves"])[b]),
+                    float(score[b]), int(ti[b]), int(tj[b]),
+                    int(lx[b]), int(ly[b]), mode,
+                )
+            else:
+                results[idx] = PairResult(
+                    float(score[b]), float(length[b]), int(ti[b]), int(tj[b])
+                )
+
     def drain(limit: int) -> None:
         while len(in_flight) > limit:
             chunk, lx, ly, out = in_flight.pop(0)
             out = jax.device_get(out)
-            score = np.asarray(out["score"])
-            length = np.asarray(out["length"])
-            ti = np.asarray(out["ti"])
-            tj = np.asarray(out["tj"])
-            if mode == "semiglobal":
-                length = length + (lx - ti) + (ly - tj)
-            for b, idx in enumerate(chunk):
-                if traceback:
-                    results[idx] = moves_to_result(
-                        np.asarray(out["moves"])[b],
-                        int(np.asarray(out["nmoves"])[b]),
-                        float(score[b]), int(ti[b]), int(tj[b]),
-                        int(lx[b]), int(ly[b]), mode,
-                    )
-                else:
-                    results[idx] = PairResult(
-                        float(score[b]), float(length[b]), int(ti[b]), int(tj[b])
-                    )
+            if isinstance(chunk[0], list):  # super-dispatch group
+                for t, (sub, slx, sly) in enumerate(zip(chunk, lx, ly)):
+                    _unpack_tracks(sub, slx, sly,
+                                   {k: v[t] for k, v in out.items()})
+            else:
+                _unpack_tracks(chunk, lx, ly, out)
 
     for (bx, by), idxs in sorted(groups.items()):
         ids_x = tuple(sorted({pair_reg[i][0] for i in idxs}))
         ids_y = tuple(sorted({pair_reg[i][1] for i in idxs}))
         sxs, ivxs, lensx_d, lensx, pos_x = _stacks(bx, ids_x)
         sys_, ivys, lensy_d, lensy, pos_y = _stacks(by, ids_y)
+        descs = []
         for start in range(0, len(idxs), batch_pairs):
             chunk = idxs[start : start + batch_pairs]
             target = 32
@@ -552,12 +588,39 @@ def align_tracksets_batched(
             if pad:
                 ix = np.concatenate([ix, np.full(pad, ix[0], np.int32)])
                 iy = np.concatenate([iy, np.full(pad, iy[0], np.int32)])
-            lx = lensx[ix]
-            ly = lensy[iy]
-            static = dict(
-                gap_series=tuple(gap_series), mode=mode,
-                traceback=traceback, weights=w, steps=bx + by,
-            )
+            descs.append((chunk, ix, iy, lensx[ix], lensy[iy]))
+
+        static = dict(
+            gap_series=tuple(gap_series), mode=mode,
+            traceback=traceback, weights=w, steps=bx + by,
+        )
+        di = 0
+        while di < len(descs):
+            chunk, ix, iy, lx, ly = descs[di]
+            n_run = 1
+            if mesh is None:
+                while (
+                    di + n_run < len(descs)
+                    and len(descs[di + n_run][1]) == len(ix)
+                ):
+                    n_run += 1
+            n_sub = next((g for g in SUPER_DISPATCH_GRID if g <= n_run), 1)
+            if n_sub > 1:
+                grp = descs[di : di + n_sub]
+                ix2 = np.stack([d[1] for d in grp])
+                iy2 = np.stack([d[2] for d in grp])
+                with annotate(f"dispatch:tracks-super{n_sub}:{bx}x{by}"):
+                    out = _composite_multi_jit()(
+                        sxs, ivxs, lensx_d, sys_, ivys, lensy_d,
+                        jnp.asarray(ix2), jnp.asarray(iy2), ss, **static,
+                    )
+                in_flight.append((
+                    [d[0] for d in grp], [d[3] for d in grp],
+                    [d[4] for d in grp], out,
+                ))
+                di += n_sub
+                drain(16)
+                continue
             if mesh is not None:
                 from ..dist.allpairs import sharded_tracks_dispatch
 
@@ -573,6 +636,7 @@ def align_tracksets_batched(
                         jnp.asarray(ix), jnp.asarray(iy), ss, **static,
                     )
             in_flight.append((chunk, lx, ly, out))
+            di += 1
             drain(16)
     drain(0)
     return results

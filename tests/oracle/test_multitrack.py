@@ -167,3 +167,41 @@ def test_batched_tracksets_sharded_matches_plain():
         assert r.score == want.score
         np.testing.assert_array_equal(r.cols_x, want.cols_x)
         np.testing.assert_array_equal(r.cols_y, want.cols_y)
+
+
+def test_batched_tracksets_super_dispatch_groups():
+    """Equal-shape trackset chunks collapse into one scan-of-n jit, results
+    bit-equal to the oracle."""
+    from praline_tpu.kernels import batch as batch_mod
+
+    rng = np.random.default_rng(41)
+    mats, w = [B62, PAM], (1.0, 0.5)
+    pairs = []
+    for _ in range(130):  # > 4 x 32-pair chunks at batch_pairs=32
+        Lx, Ly = int(rng.integers(4, 30)), int(rng.integers(4, 30))
+        pairs.append(
+            ((_prof(rng, Lx), _prof(rng, Lx)), (_prof(rng, Ly), _prof(rng, Ly)))
+        )
+    calls = []
+    real = batch_mod._composite_multi_jit
+
+    def spy():
+        fn = real()
+
+        def wrapper(*a, **k):
+            calls.append(tuple(a[6].shape))
+            return fn(*a, **k)
+
+        return wrapper
+
+    import unittest.mock as mock
+    with mock.patch.object(batch_mod, "_composite_multi_jit", spy):
+        got = align_tracksets_batched(
+            pairs, mats, w, (11, 1), "global", traceback=True,
+            bucket_sizes=(31,), batch_pairs=32,
+        )
+    assert calls and calls[0][0] == 4, calls  # a scan-of-4 group ran
+    for (txs, tys), r in zip(pairs, got):
+        want = align_tracksets(txs, tys, mats, w, (11, 1), "global")
+        assert r.score == want.score
+        np.testing.assert_array_equal(r.cols_x, want.cols_x)

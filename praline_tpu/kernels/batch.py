@@ -469,15 +469,21 @@ def align_tracksets_batched(
 
     results: list = [None] * len(pairs)
     # Register distinct tracksets by identity (one stack row per side).
-    reg_pos: dict[int, int] = {}
+    # Keyed by the FULL tuple of track identities: two tracksets sharing the
+    # same first-track Profile but differing in another track (e.g. one
+    # amino-acid profile paired with two different secondary-structure
+    # tracks) must get distinct rows (ADVICE r3).  ``reg`` keeps a reference
+    # to every registered trackset, so the ids stay valid for the call.
+    reg_pos: dict[tuple[int, ...], int] = {}
     reg: list[tuple] = []
 
     def _reg(ts) -> int:
-        k = reg_pos.get(id(ts[0]))
+        key = tuple(id(p) for p in ts)
+        k = reg_pos.get(key)
         if k is None:
             k = len(reg)
-            reg_pos[id(ts[0])] = k
-            reg.append(ts)
+            reg_pos[key] = k
+            reg.append(tuple(ts))
         return k
 
     groups: dict[tuple[int, int], list[int]] = {}
@@ -624,10 +630,31 @@ def align_tracksets_batched(
             if mesh is not None:
                 from ..dist.allpairs import sharded_tracks_dispatch
 
+                if _mesh_spans_processes(mesh):
+                    # Multi-host SPMD: replicated per-track stacks and the
+                    # sharded index vectors assemble into global jax.Arrays
+                    # host-locally, exactly like align_pairs_batched's
+                    # indexed path (ADVICE r3).
+                    from jax.sharding import PartitionSpec as P
+
+                    rep, pp = P(), P("pairs")
+                    gsxs = tuple(_globalize(mesh, a, rep) for a in sxs)
+                    givxs = tuple(_globalize(mesh, a, rep) for a in ivxs)
+                    gsys = tuple(_globalize(mesh, a, rep) for a in sys_)
+                    givys = tuple(_globalize(mesh, a, rep) for a in ivys)
+                    gss = tuple(_globalize(mesh, a, rep) for a in ss)
+                    glx = _globalize(mesh, lensx_d, rep)
+                    gly = _globalize(mesh, lensy_d, rep)
+                    gix = _globalize(mesh, ix, pp)
+                    giy = _globalize(mesh, iy, pp)
+                else:
+                    gsxs, givxs, gsys, givys, gss = sxs, ivxs, sys_, ivys, ss
+                    glx, gly = lensx_d, lensy_d
+                    gix, giy = jnp.asarray(ix), jnp.asarray(iy)
                 with annotate(f"dispatch:tracks-sharded:{bx}x{by}x{len(chunk)}"):
                     out = sharded_tracks_dispatch(
-                        mesh, sxs, ivxs, lensx_d, sys_, ivys, lensy_d,
-                        jnp.asarray(ix), jnp.asarray(iy), ss, **static,
+                        mesh, gsxs, givxs, glx, gsys, givys, gly,
+                        gix, giy, gss, **static,
                     )
             else:
                 with annotate(f"dispatch:tracks:{bx}x{by}x{len(chunk)}"):
@@ -708,6 +735,7 @@ class ProfileArena:
         self.pos: dict[int, int] = {}
         self.profs: list[Profile] = []
         self.tot: list[float] = []
+        self.ints: list[bool] = []
         self.by_bucket: dict[int, list[int]] = {}
         self._stacks: dict[int, dict] = {}
 
@@ -717,6 +745,7 @@ class ProfileArena:
         self.pos.clear()
         self.profs.clear()
         self.tot.clear()
+        self.ints.clear()
         self.by_bucket.clear()
         self._stacks.clear()
 
@@ -727,6 +756,9 @@ class ProfileArena:
             self.pos[id(p)] = k
             self.profs.append(p)
             self.tot.append(float(p.counts.sum(axis=1).max(initial=0.0)))
+            # Integer-valued counts are a precondition for both the narrow
+            # integer stack dtypes and the fast-MXU producer (ADVICE r3).
+            self.ints.append(bool(np.all(p.counts == np.rint(p.counts))))
             b = _bucket(p.length, self.bucket_sizes)
             self.by_bucket.setdefault(b, []).append(k)
             self._stacks.pop(b, None)  # new member -> rebuild that stack
@@ -758,6 +790,7 @@ class ProfileArena:
         onehot = all(
             bool(np.all(p.counts.sum(axis=1) == 1.0)) for p in profs
         )
+        ints = all(self.ints[u] for u in ids)
         if onehot:
             tok_dt = np.int8 if A < 127 else np.int32
             toks = np.full((rows, b), A, dtype=tok_dt)
@@ -766,7 +799,12 @@ class ProfileArena:
             stack, inv = jnp.asarray(toks), jnp.zeros((1, 1), jnp.float32)
         else:
             cmax = max(float(p.counts.max(initial=0.0)) for p in profs)
-            dt = np.uint8 if cmax < 256 else (np.uint16 if cmax < 65536 else np.float32)
+            # Narrow integer dtypes only for integer-valued counts —
+            # fractional counts would silently truncate (ADVICE r3).
+            if not ints:
+                dt = np.float32
+            else:
+                dt = np.uint8 if cmax < 256 else (np.uint16 if cmax < 65536 else np.float32)
             counts = np.zeros((rows, b, A), dtype=dt)
             invs = np.ones((rows, b), np.float32)
             for r, p in enumerate(profs):
@@ -782,9 +820,36 @@ class ProfileArena:
             pos={u: r for r, u in enumerate(ids)},
             cmax=1.0 if onehot else cmax,
             max_tot=max((self.tot[u] for u in ids), default=1.0),
+            ints=ints,
         )
         self._stacks[b] = st
         return st
+
+
+def fast_mxu_exact(max_s: float, s_integral: bool, sx_st: dict, sy_st: dict) -> bool:
+    """True when the fast-MXU producer ('fast' = one DEFAULT bf16 pass for
+    T plus an integer-split bf16 pair for H) is provably EXACT for this
+    dispatch group — i.e. bit-identical to the 'highest' path.
+
+    Conditions (validated compiled-on-chip at the bounds,
+    tools/onchip_parity.py): every count and score entry is INTEGER-valued
+    (the integer split ``ti = (t // 128) * 128`` truncates fractional
+    parts — ADVICE r3), magnitudes are bf16-exact (<= 256), the T split is
+    exact (max total x max |S| < 2**15), and every f32 partial sum of the
+    pair product stays exactly representable (< 2**24 with a 64 * tot_y
+    margin for the T_hi rounding perturbation).
+    """
+    return (
+        s_integral
+        and sx_st["ints"]
+        and sy_st["ints"]
+        and max_s <= 256
+        and sx_st["cmax"] <= 256
+        and sy_st["cmax"] <= 256
+        and max(sx_st["max_tot"], sy_st["max_tot"]) * max_s < 32768
+        and sx_st["max_tot"] * sy_st["max_tot"] * max_s
+        + 64.0 * sy_st["max_tot"] < float(2**24)
+    )
 
 
 def align_pairs_batched(
@@ -820,6 +885,10 @@ def align_pairs_batched(
     s_dev = jnp.asarray(matrix.as_f32())
     A = matrix.alphabet.size
     max_s = float(np.abs(matrix.scores).max())
+    # Fast-MXU admission needs INTEGER-valued scores: the producer's
+    # integer split ti = (t // 128) * 128 truncates fractional parts, so a
+    # fractional matrix must stay on the highest-precision path (ADVICE r3).
+    s_integral = bool(np.all(matrix.scores == np.rint(matrix.scores)))
 
     if arena is None:
         arena = ProfileArena(A, bucket_sizes)
@@ -1166,29 +1235,15 @@ def align_pairs_batched(
             )
             if not fused_take:
                 qd = quantized_dtype_for(max_s)
-        # MXU precision for the fused producer: "fast" (one DEFAULT bf16
-        # pass for T, a manual two-pass bf16 split for H) is EXACT — and
-        # therefore bit-identical to "highest" — whenever (a) every count
-        # and |S| entry is an integer <= 256 (bf16-exact, so single-pass
-        # products are exact), (b) max column total x max |S| < 2**15 (the
-        # T = T_hi + T_lo split is exact), and (c) the pair product bound
-        # tot_x * tot_y * max|S| clears 2**24 with a 64 * tot_y margin for
-        # the T_hi rounding perturbation, so every f32 partial sum stays
-        # exactly representable.  (c) is slightly stronger than the
-        # check_exactness admission every dispatched pair already passed.
-        # Validated compiled-on-chip at the bounds (tools/onchip_parity.py).
+        # MXU precision for the fused producer: admitted only when provably
+        # bit-identical to "highest" — see fast_mxu_exact for the contract.
         mxp = "highest"
         import os as _os
 
         if (
             group_backend == "pallas"
             and _os.environ.get("PRALINE_MXU_PRECISION", "auto") != "highest"
-            and max_s <= 256
-            and sx_st["cmax"] <= 256
-            and sy_st["cmax"] <= 256
-            and max(sx_st["max_tot"], sy_st["max_tot"]) * max_s < 32768
-            and sx_st["max_tot"] * sy_st["max_tot"] * max_s
-            + 64.0 * sy_st["max_tot"] < float(2**24)
+            and fast_mxu_exact(max_s, s_integral, sx_st, sy_st)
         ):
             mxp = "fast"
         static = dict(

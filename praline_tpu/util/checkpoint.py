@@ -62,8 +62,17 @@ class Checkpoint:
                     f"checkpoint dir {self.dir} belongs to a different run "
                     f"(digest {old.get('digest')} != {digest}); use a fresh dir"
                 )
-        else:
-            meta.write_text(json.dumps({"digest": digest}))
+        elif self.writer:
+            # Only the writer host creates meta.json, and atomically — a
+            # concurrent reader must never see a partial file (ADVICE r3).
+            self._write_text_atomic("meta.json", json.dumps({"digest": digest}))
+
+    def _write_text_atomic(self, name: str, text: str) -> None:
+        # Same tmp + rename discipline as _savez_atomic: concurrent readers
+        # (other hosts resuming) see either the old file or the new one.
+        tmp = self.dir / f".{name}.tmp"
+        tmp.write_text(text)
+        tmp.replace(self.dir / name)
 
     # -- preprofiles ------------------------------------------------------
     def save_preprofiles(self, sequences: list[Sequence]) -> None:
@@ -137,8 +146,9 @@ class Checkpoint:
     def save_tree(self, tree: SequenceTree) -> None:
         if not self.writer:
             return
-        (self.dir / "tree.json").write_text(
-            json.dumps({"num_leaves": tree.num_leaves, "joins": list(tree.joins)})
+        self._write_text_atomic(
+            "tree.json",
+            json.dumps({"num_leaves": tree.num_leaves, "joins": list(tree.joins)}),
         )
 
     def load_tree(self) -> SequenceTree | None:

@@ -98,9 +98,34 @@ iout = sharded_indexed_dispatch(
 iscores = np.asarray(iout["score"].addressable_shards[0].data).ravel()
 ilengths = np.asarray(iout["length"].addressable_shards[0].data).ravel()
 
+# Multi-track trackset driver cross-process (ADVICE r3): the FULL
+# align_tracksets_batched driver with mesh= spanning both processes — the
+# per-track stacks and index vectors must assemble into global jax.Arrays
+# host-locally (kernels.batch globalize path for tracksets).
+from praline_tpu.kernels import align_tracksets_batched
+from praline_tpu.types import Profile
+
+B62m = builtin_score_matrix("blosum62")
+PAMm = builtin_score_matrix("pam250")
+trng = np.random.default_rng(12)
+tpairs = []
+for _ in range(6):
+    Lx, Ly = int(trng.integers(4, 14)), int(trng.integers(4, 14))
+    mk = lambda L: Profile.from_tokens(
+        trng.integers(0, 20, size=L).astype(np.int32), ALPHABET_AA
+    )
+    tpairs.append(((mk(Lx), mk(Lx)), (mk(Ly), mk(Ly))))
+tres = align_tracksets_batched(
+    tpairs, [B62m, PAMm], (1.0, 0.5), (11, 1), "global",
+    traceback=True, bucket_sizes=(15,), mesh=mesh,
+)
+tscores = np.array([r.score for r in tres], np.float32)
+tcols = np.concatenate([np.asarray(r.cols_x, np.int32) for r in tres])
+
 if pid == 0:
     np.savez(
         out_path, scores=scores, lengths=lengths,
         iscores=iscores, ilengths=ilengths, toks=toks, ix=ix, iy=iy,
+        tscores=tscores, tcols=tcols,
     )
 print(f"[{pid}] OK", flush=True)

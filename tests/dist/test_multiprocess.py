@@ -78,3 +78,26 @@ def test_two_process_sharded_allpairs(tmp_path):
     )
     np.testing.assert_array_equal(data["iscores"], [w.score for w in iwant])
     np.testing.assert_array_equal(data["ilengths"], [w.length for w in iwant])
+
+    # Multi-track trackset driver cross-process (ADVICE r3): compare the
+    # worker's mesh-driven align_tracksets_batched against the oracle.
+    from praline_tpu.oracle import align_tracksets
+
+    B62m = builtin_score_matrix("blosum62")
+    PAMm = builtin_score_matrix("pam250")
+    trng = np.random.default_rng(12)
+    tpairs = []
+    for _ in range(6):
+        Lx, Ly = int(trng.integers(4, 14)), int(trng.integers(4, 14))
+        mk = lambda L: Profile.from_tokens(
+            trng.integers(0, 20, size=L).astype(np.int32), ALPHABET_AA
+        )
+        tpairs.append(((mk(Lx), mk(Lx)), (mk(Ly), mk(Ly))))
+    twant = [
+        align_tracksets(txs, tys, [B62m, PAMm], (1.0, 0.5), (11, 1), "global")
+        for txs, tys in tpairs
+    ]
+    np.testing.assert_array_equal(data["tscores"], [w.score for w in twant])
+    np.testing.assert_array_equal(
+        data["tcols"], np.concatenate([w.cols_x for w in twant])
+    )

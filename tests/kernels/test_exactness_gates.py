@@ -1,0 +1,87 @@
+"""Exactness admission gates (ADVICE r3): the fast-MXU producer and the
+arena's narrow integer stack dtypes are only admitted when provably exact —
+integer-valued counts and scores within the documented magnitude bounds."""
+
+import numpy as np
+
+from praline_tpu import ALPHABET_AA, builtin_score_matrix
+from praline_tpu.kernels.batch import ProfileArena, align_pairs_batched, fast_mxu_exact
+from praline_tpu.oracle import align_profiles
+from praline_tpu.types import Profile
+
+B62 = builtin_score_matrix("blosum62")
+
+
+def _st(**kw):
+    st = dict(ints=True, cmax=2.0, max_tot=8.0)
+    st.update(kw)
+    return st
+
+
+def test_fast_mxu_gate_accepts_in_bounds_integer_case():
+    assert fast_mxu_exact(11.0, True, _st(), _st())
+
+
+def test_fast_mxu_gate_requires_integral_scores():
+    # Fractional matrix entries would be truncated by the integer split
+    # ti = (t // 128) * 128 — the gate must reject them.
+    assert not fast_mxu_exact(11.0, False, _st(), _st())
+
+
+def test_fast_mxu_gate_requires_integral_counts():
+    assert not fast_mxu_exact(11.0, True, _st(ints=False), _st())
+    assert not fast_mxu_exact(11.0, True, _st(), _st(ints=False))
+
+
+def test_fast_mxu_gate_magnitude_bounds():
+    assert not fast_mxu_exact(300.0, True, _st(), _st())  # |S| > 256
+    assert not fast_mxu_exact(11.0, True, _st(cmax=300.0), _st())
+    # T-split bound: max_tot * max_s >= 2**15
+    assert not fast_mxu_exact(16.0, True, _st(max_tot=2048.0), _st())
+    # Pair-product bound: tot_x * tot_y * max_s near 2**24
+    assert not fast_mxu_exact(11.0, True, _st(max_tot=1400.0), _st(max_tot=1200.0))
+
+
+def _frac_prof(rng, L):
+    """Profile with FRACTIONAL (half-integer) counts — exact in binary, so
+    the oracle contraction stays order-independent, but not integer-valued."""
+    counts = rng.integers(0, 4, size=(L, ALPHABET_AA.size)).astype(np.float32)
+    counts += 0.5
+    return Profile(counts, np.zeros(L, np.float32), ALPHABET_AA)
+
+
+def test_arena_fractional_counts_never_narrow_to_int_dtypes():
+    rng = np.random.default_rng(7)
+    arena = ProfileArena(ALPHABET_AA.size, (31,))
+    profs = [_frac_prof(rng, 9), _frac_prof(rng, 12)]
+    for p in profs:
+        arena.reg(p)
+    st = arena.stack(31)
+    assert st["ints"] is False
+    # uint8 would silently truncate the 0.5s (ADVICE r3) — must stay f32.
+    assert np.asarray(st["stack"]).dtype == np.float32
+
+
+def test_fractional_count_profiles_match_oracle_through_batched_path():
+    rng = np.random.default_rng(8)
+    pairs = [
+        (_frac_prof(rng, int(rng.integers(4, 14))), _frac_prof(rng, int(rng.integers(4, 14))))
+        for _ in range(5)
+    ]
+    got = align_pairs_batched(pairs, B62, (11, 1), "global", traceback=True)
+    for (px, py), r in zip(pairs, got):
+        want = align_profiles(px, py, B62, (11, 1), "global")
+        assert r.score == want.score
+        np.testing.assert_array_equal(r.cols_x, want.cols_x)
+        np.testing.assert_array_equal(r.cols_y, want.cols_y)
+
+
+def test_integer_count_profiles_still_narrow():
+    rng = np.random.default_rng(9)
+    arena = ProfileArena(ALPHABET_AA.size, (31,))
+    counts = rng.integers(0, 4, size=(10, ALPHABET_AA.size)).astype(np.float32)
+    counts[0, 0] = 3.0
+    arena.reg(Profile(counts, np.zeros(10, np.float32), ALPHABET_AA))
+    st = arena.stack(31)
+    assert st["ints"] is True
+    assert np.asarray(st["stack"]).dtype == np.uint8

@@ -144,6 +144,27 @@ def test_batched_tracksets_ragged_buckets_async(mode):
         np.testing.assert_array_equal(r.cols_y, want.cols_y)
 
 
+def test_shared_first_track_distinct_tracksets_do_not_alias():
+    """Two tracksets that SHARE the first-track Profile object but differ
+    in another track must register as distinct rows — the registry keys on
+    the full identity tuple, not id(ts[0]) (ADVICE r3, medium)."""
+    rng = np.random.default_rng(51)
+    shared_x, shared_y = _prof(rng, 12), _prof(rng, 9)
+    pairs = [
+        ((shared_x, _prof(rng, 12)), (shared_y, _prof(rng, 9))),
+        ((shared_x, _prof(rng, 12)), (shared_y, _prof(rng, 9))),
+    ]
+    mats, w = [B62, PAM], (1.0, 1.0)
+    got = align_tracksets_batched(pairs, mats, w, (11, 1), "global", traceback=True)
+    wants = [align_tracksets(txs, tys, mats, w, (11, 1), "global") for txs, tys in pairs]
+    # The two second tracks must actually disagree for this to be a test.
+    assert wants[0].score != wants[1].score
+    for r, want in zip(got, wants):
+        assert r.score == want.score
+        np.testing.assert_array_equal(r.cols_x, want.cols_x)
+        np.testing.assert_array_equal(r.cols_y, want.cols_y)
+
+
 def test_batched_tracksets_sharded_matches_plain():
     """Multi-track dispatch under a mesh (pair axis sharded) is bit-equal
     to the unsharded driver and the oracle."""

@@ -319,6 +319,94 @@ def sharded_ckpt_dispatch(mesh, cx, inv_x, cy, inv_y, s, lx, ly, *,
     return fn(cx, inv_x, cy, inv_y, s, lx, ly)
 
 
+@functools.lru_cache(maxsize=256)
+def _build_chunk_step(mesh_key, gap_series, mode, traceback, b0, nb, first,
+                      total_d):
+    """One band chunk of the CHUNKED (oversized-Ly) route inside shard_map:
+    the fused producer materializes only this chunk's score bands and the
+    Pallas kernel resumes from the carried state, with the pair axis
+    sharded — previously the chunked route fell back to the XLA scan under
+    a mesh (STATUS r3 gap #4).  Carries stay sharded on device between
+    chunk steps; terminals all-gather; traceback bits stay sharded (the
+    host pulls them per chunk — single-process meshes only, the batch
+    driver keeps the XLA fallback for multi-process meshes)."""
+    mesh = _MESHES[mesh_key]
+    from ..kernels.fused_scores import TILE, fused_skewed_scores
+    from ..kernels.pallas_dp import wavefront_dp_pallas
+
+    pp3 = P(PAIR_AXIS, None, None)
+    pp2 = P(PAIR_AXIS, None)
+    carry_specs = (P(None, PAIR_AXIS, None),) * 2 + (P(None, PAIR_AXIS, None),) * 2
+    in_specs = (pp3, pp2, pp3, pp2, P(None, None), P(PAIR_AXIS), P(PAIR_AXIS))
+    if not first:
+        in_specs = in_specs + carry_specs
+    out_specs = {k: P() for k in ("score", "length", "ti", "tj", "tcode")}
+    out_specs["carry"] = carry_specs
+    if traceback:
+        out_specs["tb"] = P(None, PAIR_AXIS, None)
+
+    def run(cx, inv_x, cy, inv_y, s, lx, ly, *carry):
+        hs = fused_skewed_scores(
+            cx, inv_x, cy, inv_y, s, band_start=b0, n_bands=nb
+        )
+        out = wavefront_dp_pallas(
+            hs, lx, ly, gap_series=gap_series, mode=mode,
+            traceback=traceback, lengths=True, hs_body=True, chunked=True,
+            first=first, d_base=2 + b0 * TILE, total_d=total_d,
+            carry_in=carry if carry else None,
+        )
+        res = {
+            k: jax.lax.all_gather(out[k], PAIR_AXIS, axis=0, tiled=True)
+            for k in ("score", "length", "ti", "tj", "tcode")
+        }
+        res["carry"] = out["carry"]
+        if traceback:
+            res["tb"] = out["tb"]
+        return res
+
+    fn = shard_map(run, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                   check_vma=False)
+    return jax.jit(fn)
+
+
+def sharded_chunked_dispatch(mesh, cx, inv_x, cy, inv_y, s, lx, ly, *,
+                             gap_series, mode, traceback, chunk_bands=16):
+    """Chunked-diagonal batched DP (kernels.chunked semantics) with the pair
+    axis sharded over ``mesh``; the batch must be a multiple of the mesh's
+    pair-axis size (kernels.batch pads).  Returns the kernels.chunked result
+    shape: terminals + ``tb_chunks`` (host numpy, per chunk)."""
+    import numpy as np
+
+    from ..kernels.fused_scores import TILE
+
+    key = _register_mesh(mesh)
+    B, Lx, _ = cx.shape
+    Ly = cy.shape[1]
+    D = Lx + Ly + 1
+    total_bands = -(-(D - 2) // TILE)
+    total_d = 2 + total_bands * TILE
+
+    carry = None
+    tb_chunks: list = []
+    res = None
+    for b0 in range(0, total_bands, chunk_bands):
+        nb = min(chunk_bands, total_bands - b0)
+        fn = _build_chunk_step(key, tuple(gap_series), mode, bool(traceback),
+                               b0, nb, b0 == 0, total_d)
+        args = (cx, inv_x, cy, inv_y, s, lx, ly)
+        if carry is not None:
+            args = args + tuple(carry)
+        res = fn(*args)
+        carry = res["carry"]
+        if traceback:
+            tb_chunks.append(np.asarray(res["tb"]))
+
+    result = {k: res[k] for k in ("score", "length", "ti", "tj", "tcode")}
+    if traceback:
+        result["tb_chunks"] = tb_chunks
+    return result
+
+
 @functools.lru_cache(maxsize=32)
 def _build_tracks(mesh_key, gap_series, mode, traceback, weights, steps, T):
     """Sharded MULTI-TRACK dispatch: the composite indexed body

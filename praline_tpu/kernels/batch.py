@@ -1028,9 +1028,12 @@ def align_pairs_batched(
                 1, min(max_in_flight, _scaled_budget(TB_BYTES_BUDGET) // max(tb_bytes * eff_batch, 1))
             )
         group_backend = backend
-        if oversized and mesh is not None:
-            # Chunked diagonal execution is single-device; under a mesh the
-            # XLA scan kernel (no lane ceiling) runs inside shard_map.
+        if oversized and mesh is not None and _mesh_spans_processes(mesh):
+            # Chunked carries stay device-resident between chunk steps but
+            # traceback bits pull to the host per chunk — under a
+            # MULTI-PROCESS mesh that pull is not addressable, so the XLA
+            # scan kernel (no lane ceiling) runs inside shard_map instead.
+            # Single-process meshes take the sharded chunked route below.
             group_backend = "xla"
             oversized = False
 
@@ -1187,12 +1190,28 @@ def align_pairs_batched(
                 cy, inv_y = _pad_counts(pys, by)
                 lx = np.array([p.length for p in pxs], dtype=np.int32)
                 ly = np.array([p.length for p in pys], dtype=np.int32)
-                out = wavefront_dp_chunked(
-                    cx, inv_x, cy, inv_y,
-                    np.asarray(matrix.as_f32()), lx, ly,
-                    gap_series=tuple(gap_series), mode=mode,
-                    traceback=traceback,
-                )
+                if mesh is not None:
+                    # Sharded chunked route (single-process mesh): same
+                    # band-chunked fused-producer body, pair axis sharded
+                    # (dist.allpairs.sharded_chunked_dispatch).
+                    from ..dist.allpairs import sharded_chunked_dispatch
+
+                    with annotate(
+                        f"dispatch:chunked-sharded:{bx}x{by}x{len(chunk)}"
+                    ):
+                        out = sharded_chunked_dispatch(
+                            mesh, cx, inv_x, cy, inv_y,
+                            np.asarray(matrix.as_f32()), lx, ly,
+                            gap_series=tuple(gap_series), mode=mode,
+                            traceback=traceback,
+                        )
+                else:
+                    out = wavefront_dp_chunked(
+                        cx, inv_x, cy, inv_y,
+                        np.asarray(matrix.as_f32()), lx, ly,
+                        gap_series=tuple(gap_series), mode=mode,
+                        traceback=traceback,
+                    )
                 if traceback:
                     out["tb"] = np.concatenate(out.pop("tb_chunks"), axis=0)
                 in_flight.append((chunk, pxs, pys, lx, ly, out))

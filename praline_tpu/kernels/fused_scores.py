@@ -104,7 +104,7 @@ def _pack_operands(cx, inv_x, cy, inv_y, s, t_precision=HIGHEST):
 @functools.partial(
     jax.jit,
     static_argnames=("out_dtype", "scaled", "interpret", "band_start", "n_bands",
-                     "mxu_precision"),
+                     "mxu_precision", "layout"),
 )
 def fused_skewed_scores(
     cx: jax.Array,  # f32[B, Lx, A] integer-valued counts
@@ -118,10 +118,19 @@ def fused_skewed_scores(
     band_start: int = 0,
     n_bands: int | None = None,
     mxu_precision: str = "highest",
+    layout: str = "dmajor",
 ):
     """Body-layout skewed scores: returns ``hs_body[t, b, i]`` holding the
     scores of diagonal ``d = t + 2`` (row t), lanes padded to a multiple of
     128.  Values are identical to ``skewed_pair_scores(...)[2:, :, :Lp]``.
+
+    ``layout="bmajor"`` returns the transposed ``hs_body[b, t, i]`` form
+    instead: the MXU emits (PB, 256, 128) H-tile stacks directly, so the
+    b-major block needs NO per-step (PB, 256, 128) transpose — the barrel
+    roll runs on the sublane axis — and the grid walks (b, i, s) so the T
+    self-tiles and inv_x blocks are fetched once per (b, i) instead of once
+    per band (the d-major grid refetched them S times).  Round-4
+    measurement on the v5e: see tools/onchip_hslayout.py.
 
     ``scaled=False`` skips the inverse multiplies (one-hot/integer scores)
     and can emit int8/int16 via ``out_dtype``.
@@ -144,6 +153,9 @@ def fused_skewed_scores(
     """
     if mxu_precision not in ("highest", "fast"):
         raise ValueError(f"unknown mxu_precision {mxu_precision!r}")
+    if layout not in ("dmajor", "bmajor"):
+        raise ValueError(f"unknown layout {layout!r}")
+    bmajor = layout == "bmajor"
     fast = mxu_precision == "fast"
     t_prec = jax.lax.Precision.DEFAULT if fast else HIGHEST
     if interpret is None:
@@ -187,6 +199,15 @@ def fused_skewed_scores(
     total_bands = -(-(D - 2) // TILE)
     S_steps = total_bands - band_start if n_bands is None else n_bands
 
+    if bmajor:
+        # Grid (b, i, s): the T self-tiles and inv_x blocks depend only on
+        # (b, i) and stay resident across the whole band sweep.
+        def G(f):
+            return lambda b, i, s_: f(b, s_, i)
+    else:
+        def G(f):
+            return f
+
     def self_tile(b, s_, i):
         return (b, i, 0, 0)
 
@@ -213,8 +234,12 @@ def fused_skewed_scores(
             tp_ref, cylo_ref, cyhi_ref = refs[:3]
             refs = refs[3:]
         invx_ref, ivlo_ref, ivhi_ref, out_ref = refs
-        s_id = pl.program_id(1) + band_start
-        i_blk = pl.program_id(2)
+        if bmajor:
+            s_id = pl.program_id(2) + band_start
+            i_blk = pl.program_id(1)
+        else:
+            s_id = pl.program_id(1) + band_start
+            i_blk = pl.program_id(2)
         c_lo = s_id - i_blk
         c_hi = c_lo + 1
 
@@ -254,6 +279,18 @@ def fused_skewed_scores(
             ivx = invx_ref[:, 0, 0][:, None, :]
             h_hi = (h_hi * ivx) * ivhi_ref[:, 0, 0][:, :, None]
             h_lo = (h_lo * ivx) * ivlo_ref[:, 0, 0][:, :, None]
+        if bmajor:
+            # No transpose: the MXU's (PB, 256, 128) tile stack IS the
+            # b-major block layout; the barrel roll runs on the sublane
+            # axis.
+            stack = jnp.concatenate([h_hi, h_lo], axis=1)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (PB, 2 * TILE, TILE), 2)
+            for bit in range(7):  # il in [0, 128)
+                amt = 1 << bit
+                take = (lane & amt) != 0
+                stack = jnp.where(take, pltpu.roll(stack, amt, 1), stack)
+            out_ref[:, :, :] = stack[:, :TILE].astype(out_dtype)
+            return
         # (PB, 256, 128) -> (256, PB, 128): barrel axis leads, block layout
         # matches the (dloc, b, il) output directly.
         stack = jnp.transpose(jnp.concatenate([h_hi, h_lo], axis=1), (1, 0, 2))
@@ -266,8 +303,8 @@ def fused_skewed_scores(
 
         out_ref[:, :, :] = stack[:TILE].astype(out_dtype)
 
-    spec_a = lambda f: pl.BlockSpec((PB, 1, A8, TILE), f, memory_space=pltpu.VMEM)
-    spec_1 = lambda f: pl.BlockSpec((PB, 1, 8, TILE), f, memory_space=pltpu.VMEM)
+    spec_a = lambda f: pl.BlockSpec((PB, 1, A8, TILE), G(f), memory_space=pltpu.VMEM)
+    spec_1 = lambda f: pl.BlockSpec((PB, 1, 8, TILE), G(f), memory_space=pltpu.VMEM)
     in_specs = [spec_a(self_tile) for _ in tp_ops] + [
         spec_a(lo_tile),
         spec_a(hi_tile),
@@ -275,15 +312,25 @@ def fused_skewed_scores(
         spec_1(iv_lo),
         spec_1(iv_hi),
     ]
-    out_spec = pl.BlockSpec(
-        (TILE, PB, TILE), lambda b, s_, i: (s_, b, i), memory_space=pltpu.VMEM
-    )
+    if bmajor:
+        out_spec = pl.BlockSpec(
+            (PB, TILE, TILE), G(lambda b, s_, i: (b, s_, i)),
+            memory_space=pltpu.VMEM,
+        )
+        out_shape = jax.ShapeDtypeStruct((B_run, S_steps * TILE, LxT), out_dtype)
+        grid = (B_run // PB, I, S_steps)
+    else:
+        out_spec = pl.BlockSpec(
+            (TILE, PB, TILE), lambda b, s_, i: (s_, b, i), memory_space=pltpu.VMEM
+        )
+        out_shape = jax.ShapeDtypeStruct((S_steps * TILE, B_run, LxT), out_dtype)
+        grid = (B_run // PB, S_steps, I)
     hs_body = pl.pallas_call(
         kernel,
-        grid=(B_run // PB, S_steps, I),
+        grid=grid,
         in_specs=in_specs,
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((S_steps * TILE, B_run, LxT), out_dtype),
+        out_shape=out_shape,
         interpret=bool(interpret),
     )(*tp_ops, cy4, cy4, invx4, invy4, invy4)
-    return hs_body[:, :B, :]
+    return hs_body[:B] if bmajor else hs_body[:, :B, :]

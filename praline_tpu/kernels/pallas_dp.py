@@ -50,12 +50,25 @@ def _collapse(k: int) -> tuple[bool, int]:
     return k == 2, 1 if k == 2 else k
 
 
-def _scratch_names(k: int, lengths: bool, traceback: bool) -> list[str]:
-    names = ["m1", "r1v", "r2v", "tval", "tis", "tjs", "ix1", "iy1"]
+def _scratch_names(k: int, lengths: bool, traceback: bool,
+                   term_rows: bool = False) -> list[str]:
+    names = ["m1", "r1v", "r2v", "ix1", "iy1"]
+    if term_rows:
+        # Terminal ACCUMULATION ROWS (round 4): candidates are where()-d
+        # into persistent (Bblk, Lp) rows each step — no per-step cross-lane
+        # reduce — and the tie-break-exact reduction happens once in
+        # _finish.  Measured on the v5e: the per-step masked reduces were
+        # the single largest op block of the step (the DP is op-issue
+        # bound; see tools/onchip_tiled.py for the traffic counter-test).
+        names += ["tvr", "tjr"]
+    else:
+        names += ["tval", "tis", "tjs"]
     if lengths:
-        names += ["lm1", "r1l", "r2l", "tlen", "lix1", "liy1"]
+        names += ["lm1", "r1l", "r2l", "lix1", "liy1"]
+        names += ["tlr"] if term_rows else ["tlen"]
     if traceback:
-        names += ["r1c", "r2c", "tcs"]
+        names += ["r1c", "r2c"]
+        names += ["tcr"] if term_rows else ["tcs"]
         if _collapse(k)[0]:
             names += ["psx", "psy"]  # previous diagonal's stay bits
     return names
@@ -80,13 +93,14 @@ def _carry_rows(k, lengths, traceback):
 
 
 def _make_kernel(grid_d, Bblk, Lp, k, gap_series, mode, lengths, traceback,
-                 quantized, unroll, chunked, first, d_base):
+                 quantized, unroll, chunked, first, d_base, term_rows,
+                 bmajor_hs=False):
     g = [np.float32(x) for x in gap_series]
     collapsed, kc = _collapse(k)
     local = mode == "local"
     semi = mode == "semiglobal"
     border_m = np.float32(0.0 if local else NEG)
-    names = _scratch_names(k, lengths, traceback)
+    names = _scratch_names(k, lengths, traceback, term_rows)
 
     def prio(m, ixs, iys, lm=None, lixs=None, liys=None, codes=False,
              codes_x=None, codes_y=None):
@@ -180,25 +194,48 @@ def _make_kernel(grid_d, Bblk, Lp, k, gap_series, mode, lengths, traceback,
                         S["psx"][:, :] = jnp.zeros((Bblk, Lp), jnp.int32)
                         S["psy"][:, :] = jnp.zeros((Bblk, Lp), jnp.int32)
                 # terminal trackers
-                S["tval"][:, :] = jnp.full((Bblk, 1), NEG, jnp.float32)
-                S["tis"][:, :] = jnp.zeros((Bblk, 1), jnp.int32)
-                S["tjs"][:, :] = jnp.zeros((Bblk, 1), jnp.int32)
-                if lengths:
-                    S["tlen"][:, :] = jnp.zeros((Bblk, 1), jnp.float32)
-                if traceback:
-                    S["tcs"][:, :] = jnp.zeros((Bblk, 1), jnp.int32)
-                if semi:
-                    for pickc, ci, cj, code in (
-                        (ly == 1, 0, 1, 1 + k),  # (0, 1): Iy cell
-                        (lx == 1, 1, 0, 1),  # (1, 0): Ix cell, larger i wins
-                    ):
-                        S["tval"][:, :] = jnp.where(pickc, 0.0, S["tval"][:, :])
-                        S["tis"][:, :] = jnp.where(pickc, ci, S["tis"][:, :])
-                        S["tjs"][:, :] = jnp.where(pickc, cj, S["tjs"][:, :])
-                        if lengths:
-                            S["tlen"][:, :] = jnp.where(pickc, 1.0, S["tlen"][:, :])
-                        if traceback:
-                            S["tcs"][:, :] = jnp.where(pickc, code, S["tcs"][:, :])
+                if term_rows:
+                    S["tvr"][:, :] = negs
+                    S["tjr"][:, :] = jnp.full((Bblk, Lp), -1, jnp.int32)
+                    if lengths:
+                        S["tlr"][:, :] = negs
+                    if traceback:
+                        S["tcr"][:, :] = jnp.full((Bblk, Lp), -1, jnp.int32)
+                    if semi:
+                        # Diagonal-1 candidates (0,1)/(1,0) land in distinct
+                        # lanes; the larger-i tie preference falls out of
+                        # the final largest-lane reduce.
+                        for pickc, ci, cj, code in (
+                            (ly == 1, 0, 1, 1 + k),
+                            (lx == 1, 1, 0, 1),
+                        ):
+                            m = pickc & (lane == ci)
+                            S["tvr"][:, :] = jnp.where(m, 0.0, S["tvr"][:, :])
+                            S["tjr"][:, :] = jnp.where(m, cj, S["tjr"][:, :])
+                            if lengths:
+                                S["tlr"][:, :] = jnp.where(m, 1.0, S["tlr"][:, :])
+                            if traceback:
+                                S["tcr"][:, :] = jnp.where(m, code, S["tcr"][:, :])
+                else:
+                    S["tval"][:, :] = jnp.full((Bblk, 1), NEG, jnp.float32)
+                    S["tis"][:, :] = jnp.zeros((Bblk, 1), jnp.int32)
+                    S["tjs"][:, :] = jnp.zeros((Bblk, 1), jnp.int32)
+                    if lengths:
+                        S["tlen"][:, :] = jnp.zeros((Bblk, 1), jnp.float32)
+                    if traceback:
+                        S["tcs"][:, :] = jnp.zeros((Bblk, 1), jnp.int32)
+                    if semi:
+                        for pickc, ci, cj, code in (
+                            (ly == 1, 0, 1, 1 + k),  # (0, 1): Iy cell
+                            (lx == 1, 1, 0, 1),  # (1, 0): Ix cell, larger i wins
+                        ):
+                            S["tval"][:, :] = jnp.where(pickc, 0.0, S["tval"][:, :])
+                            S["tis"][:, :] = jnp.where(pickc, ci, S["tis"][:, :])
+                            S["tjs"][:, :] = jnp.where(pickc, cj, S["tjs"][:, :])
+                            if lengths:
+                                S["tlen"][:, :] = jnp.where(pickc, 1.0, S["tlen"][:, :])
+                            if traceback:
+                                S["tcs"][:, :] = jnp.where(pickc, code, S["tcs"][:, :])
 
         if chunked and not first:
 
@@ -226,13 +263,14 @@ def _make_kernel(grid_d, Bblk, Lp, k, gap_series, mode, lengths, traceback,
 
         def _diag(u):
             d = pl.program_id(1) * unroll + u + d_base
+            hraw = hs_ref[:, u, :] if bmajor_hs else hs_ref[u, :, :]
             if quantized:
                 # integer scores shipped narrow; all column inverses are exactly
                 # 1 in this mode (one-hot profiles), so the cast IS the score —
                 # no multiplies, no excess-precision hazard
-                hrow = hs_ref[u, :, :].astype(jnp.float32)
+                hrow = hraw.astype(jnp.float32)
             else:
-                hrow = hs_ref[u, :, :]
+                hrow = hraw
             m1v = S["m1"][:, :]
             m1s = shift_v(m1v)
             b2vs = shift_v(S["r2v"][:, :])
@@ -377,7 +415,42 @@ def _make_kernel(grid_d, Bblk, Lp, k, gap_series, mode, lengths, traceback,
             # land on <= Bblk of the D steps — measured 12% SLOWER end to
             # end on the v5e (6.45 vs 7.3e9 cells/s): the per-step scf.if
             # costs Mosaic more than the masked reduce it skips.
-            if mode == "global":
+            if term_rows:
+                # Accumulation-row form: no cross-lane reduce per step —
+                # candidates where() into persistent rows; _finish reduces
+                # once with the exact §8.3 tie-breaks (global: the single
+                # terminal cell; semiglobal: larger i then larger j = keep
+                # larger-j per lane, take the largest max lane; local:
+                # smallest i then smallest j = strict-> keep per lane, take
+                # the smallest max lane).
+                if mode == "global":
+                    mask = (d == (lx + ly)) & (lane == lx)
+                    S["tvr"][:, :] = jnp.where(mask, bv, S["tvr"][:, :])
+                    if lengths:
+                        S["tlr"][:, :] = jnp.where(mask, bl, S["tlr"][:, :])
+                    if traceback:
+                        S["tcr"][:, :] = jnp.where(mask, bc, S["tcr"][:, :])
+                elif semi:
+                    jrow = d - lane
+                    cand = ((lane == lx) & (jrow >= 0) & (jrow <= ly)) | (
+                        (jrow == ly) & (lane <= lx)
+                    )
+                    repl = cand & (bv >= S["tvr"][:, :])
+                    S["tvr"][:, :] = jnp.where(repl, bv, S["tvr"][:, :])
+                    S["tjr"][:, :] = jnp.where(repl, jrow, S["tjr"][:, :])
+                    if lengths:
+                        S["tlr"][:, :] = jnp.where(repl, bl, S["tlr"][:, :])
+                    if traceback:
+                        S["tcr"][:, :] = jnp.where(repl, bc, S["tcr"][:, :])
+                else:  # local: terminals are M cells
+                    jrow = d - lane
+                    valid = (lane >= 1) & (lane <= lx) & (jrow >= 1) & (jrow <= ly)
+                    repl = valid & (nm > S["tvr"][:, :])
+                    S["tvr"][:, :] = jnp.where(repl, nm, S["tvr"][:, :])
+                    S["tjr"][:, :] = jnp.where(repl, jrow, S["tjr"][:, :])
+                    if lengths:
+                        S["tlr"][:, :] = jnp.where(repl, nlm, S["tlr"][:, :])
+            elif mode == "global":
                 pick = d == (lx + ly)  # (Bblk, 1)
                 mask = lane == lx
                 S["tval"][:, :] = jnp.where(pick, _pick(bv, mask, NEG), S["tval"][:, :])
@@ -467,6 +540,36 @@ def _make_kernel(grid_d, Bblk, Lp, k, gap_series, mode, lengths, traceback,
 
         @pl.when(pl.program_id(1) == grid_d - 1)
         def _finish():
+            if term_rows:
+                tvr = S["tvr"][:, :]
+                m = jnp.max(tvr, axis=1, keepdims=True)
+                score_ref[:, :] = m
+                if mode == "global":
+                    # the single terminal cell (lx, ly) wrote lane lx
+                    ti_ref[:, :] = lx
+                    tj_ref[:, :] = ly
+                    mask2 = lane == lx
+                else:
+                    ismax = tvr == m
+                    if semi:  # larger i wins ties
+                        til = jnp.max(jnp.where(ismax, lane, -1), axis=1,
+                                      keepdims=True)
+                    else:  # local: smaller i wins ties
+                        til = jnp.min(jnp.where(ismax, lane, jnp.int32(Lp)),
+                                      axis=1, keepdims=True)
+                    mask2 = lane == til
+                    ti_ref[:, :] = til
+                    tj_ref[:, :] = _pick(S["tjr"][:, :], mask2, -1)
+                len_ref[:, :] = (
+                    _pick(S["tlr"][:, :], mask2, NEG)
+                    if lengths else jnp.zeros((Bblk, 1), jnp.float32)
+                )
+                tcode_ref[:, :] = (
+                    _pick(S["tcr"][:, :], mask2, -1)
+                    if traceback and not local
+                    else jnp.zeros((Bblk, 1), jnp.int32)
+                )
+                return
             score_ref[:, :] = S["tval"][:, :]
             ti_ref[:, :] = S["tis"][:, :]
             tj_ref[:, :] = S["tjs"][:, :]
@@ -489,15 +592,17 @@ def _make_kernel(grid_d, Bblk, Lp, k, gap_series, mode, lengths, traceback,
 def _bytes_per_lane(gap_series, traceback, lengths, unroll=1) -> int:
     """VMEM bytes one lane of DP state costs at the minimum batch block:
     full scratch rows (m1, r1v, r2v + ix/iy stacks, optional length/code
-    carries, traceback rows) plus double-buffered hs in-blocks and tb
-    out-blocks, plus Mosaic overhead headroom."""
+    carries, traceback rows, terminal accumulation rows) plus
+    double-buffered hs in-blocks and tb out-blocks, plus Mosaic overhead
+    headroom."""
     k = len(gap_series)
     collapsed, kc = _collapse(k)
     n_rows = 3 + 2 * kc  # m1, r1v, r2v + ix/iy stacks
+    n_rows += 2  # tvr/tjr terminal accumulation rows
     if lengths:
-        n_rows += 3 + 2 * kc
+        n_rows += 3 + 2 * kc + 1  # + tlr
     if traceback:
-        n_rows += 2 + (2 if collapsed else 0)  # r1c/r2c (+psx/psy)
+        n_rows += 3 + (2 if collapsed else 0)  # r1c/r2c/tcr (+psx/psy)
     return 4 * (n_rows + 2 + 2 * unroll) + (2 if traceback else 0) * unroll
 
 
@@ -517,6 +622,7 @@ def max_lanes(gap_series, traceback, lengths=None, unroll=1) -> int:
     static_argnames=(
         "gap_series", "mode", "traceback", "lengths", "block_b", "interpret",
         "hs_body", "unroll", "chunked", "first", "d_base", "total_d",
+        "term_rows", "hs_layout",
     ),
 )
 def wavefront_dp_pallas(
@@ -536,6 +642,8 @@ def wavefront_dp_pallas(
     d_base: int = 2,
     total_d: int | None = None,
     carry_in=None,
+    term_rows: bool | None = None,
+    hs_layout: str = "dmajor",
 ):
     """Pallas TPU implementation of kernels.scan.wavefront_dp (same contract;
     ``length``/``tcode`` outputs are zeros when the respective carries are
@@ -550,15 +658,34 @@ def wavefront_dp_pallas(
         interpret = jax.default_backend() != "tpu"
     if lengths is None:
         lengths = not traceback
+    if term_rows is None:
+        # Measured on the v5e (tools/onchip_tiled.py --mode=...): the
+        # accumulation rows beat the per-step masked reduces in GLOBAL mode
+        # (+4%), wash in semiglobal, and LOSE in local (-18%: three wide
+        # row read/writes per step outweigh the reduces they replace).
+        term_rows = mode == "global" and not chunked
+    if chunked and term_rows:
+        raise ValueError(
+            "term_rows is incompatible with chunked execution (the chunk "
+            "carry layout packs the scalar terminal trackers)"
+        )
+    if hs_layout not in ("dmajor", "bmajor"):
+        raise ValueError(f"unknown hs_layout {hs_layout!r}")
+    bmajor = hs_layout == "bmajor"
+    if bmajor and (not hs_body or chunked):
+        raise ValueError("bmajor hs requires the body layout and no chunking")
     quantized = hs.dtype != jnp.float32
     if hs_body:
-        rows, B, Lp = hs.shape
+        if bmajor:
+            B, rows, Lp = hs.shape
+        else:
+            rows, B, Lp = hs.shape
         D = rows + 2
     else:
         D, B, Lp = hs.shape
     if chunked and not hs_body:
         raise ValueError("chunked execution requires the body hs layout")
-    steps = hs.shape[0] if hs_body else D - 2
+    steps = rows if hs_body else D - 2
     if unroll > 1 and (not hs_body or steps % unroll):
         unroll = 1  # unrolling needs the padded body layout
     grid_d = steps // unroll
@@ -578,7 +705,8 @@ def wavefront_dp_pallas(
     Bblk = min(block_b, B, block_cap)
     pad = (-B) % Bblk
     if pad:  # pad with trivial length-1 problems; sliced off below
-        hs = jnp.pad(hs, ((0, 0), (0, pad), (0, 0)))
+        bpad = ((0, pad), (0, 0), (0, 0)) if bmajor else ((0, 0), (0, pad), (0, 0))
+        hs = jnp.pad(hs, bpad)
         lx = jnp.pad(lx, (0, pad), constant_values=1)
         ly = jnp.pad(ly, (0, pad), constant_values=1)
     B_run = B + pad
@@ -591,7 +719,8 @@ def wavefront_dp_pallas(
 
     kernel = _make_kernel(
         grid_d, Bblk, Lp, k, tuple(gap_series), mode, lengths, traceback,
-        quantized, unroll, chunked, first, d_base,
+        quantized, unroll, chunked, first, d_base, term_rows,
+        bmajor_hs=bmajor,
     )
 
     f32 = jnp.float32
@@ -614,13 +743,21 @@ def wavefront_dp_pallas(
     )
     bspec = lambda: pl.BlockSpec((Bblk, 1), lambda b, d: (b, 0), memory_space=pltpu.VMEM)
     grid = (nb, grid_d)
+    if bmajor:
+        hs_spec = pl.BlockSpec(
+            (Bblk, unroll, Lp), lambda b, d: (b, d, 0), memory_space=pltpu.VMEM
+        )
+    elif hs_body:
+        hs_spec = pl.BlockSpec(
+            (unroll, Bblk, Lp), lambda b, d: (d, b, 0), memory_space=pltpu.VMEM
+        )
+    else:
+        hs_spec = pl.BlockSpec(
+            (1, Bblk, Lp), lambda b, d: (d + 2, b, 0), memory_space=pltpu.VMEM
+        )
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # cum (full)
-        (
-            pl.BlockSpec((unroll, Bblk, Lp), lambda b, d: (d, b, 0), memory_space=pltpu.VMEM)
-            if hs_body
-            else pl.BlockSpec((1, Bblk, Lp), lambda b, d: (d + 2, b, 0), memory_space=pltpu.VMEM)
-        ),
+        hs_spec,
         bspec(),  # lx
         bspec(),  # ly
     ]
@@ -654,16 +791,16 @@ def wavefront_dp_pallas(
 
     kc = _collapse(k)[1]
     scratch = []
-    for name in _scratch_names(k, lengths, traceback):
+    for name in _scratch_names(k, lengths, traceback, term_rows):
         if name in ("tval", "tlen"):
             scratch.append(pltpu.VMEM((Bblk, 1), f32))
         elif name in ("tis", "tjs", "tcs"):
             scratch.append(pltpu.VMEM((Bblk, 1), i32))
         elif name in ("ix1", "iy1", "lix1", "liy1"):
             scratch.append(pltpu.VMEM((kc, Bblk, Lp), f32))
-        elif name in ("r1c", "r2c", "psx", "psy"):
+        elif name in ("r1c", "r2c", "psx", "psy", "tjr", "tcr"):
             scratch.append(pltpu.VMEM((Bblk, Lp), i32))
-        else:  # m1, r1v, r2v, lm1, r1l, r2l
+        else:  # m1, r1v, r2v, lm1, r1l, r2l, tvr, tlr
             scratch.append(pltpu.VMEM((Bblk, Lp), f32))
 
     results = pl.pallas_call(

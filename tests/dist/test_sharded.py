@@ -255,3 +255,53 @@ def test_ckpt_route_sharded_under_mesh(monkeypatch):
             assert r.score == want.score, mode
             np.testing.assert_array_equal(r.cols_x, want.cols_x)
             np.testing.assert_array_equal(r.cols_y, want.cols_y)
+
+
+def test_chunked_route_sharded_under_mesh(monkeypatch):
+    """Oversized-Ly (chunked-route) problems run the band-chunked fused
+    producer INSIDE shard_map on a single-process mesh instead of falling
+    back to the XLA scan (STATUS r3 gap #4), bit-equal to the oracle —
+    traceback bits pulled per chunk included."""
+    import numpy as np
+
+    from praline_tpu import ALPHABET_AA
+    from praline_tpu.dist import make_pair_mesh
+    from praline_tpu.dist import allpairs as allpairs_mod
+    from praline_tpu.oracle import align_profiles
+    from praline_tpu.types import Profile
+
+    rng = np.random.default_rng(33)
+
+    def one(L):
+        return Profile.from_tokens(
+            rng.integers(0, 20, size=L).astype(np.int32), ALPHABET_AA
+        )
+
+    # by (40..59 -> exact bucket) > bucket_sizes[-1]=31 triggers the
+    # chunked route; Lx <= 31 keeps x bucketed and hs under budget.
+    pairs = [(one(int(rng.integers(12, 30))), one(int(rng.integers(40, 60))))
+             for _ in range(5)]  # 5 pairs over 4 devices: shard pad too
+    mesh = make_pair_mesh(4)
+    calls = []
+    real = allpairs_mod.sharded_chunked_dispatch
+
+    def spy(*a, **k):
+        calls.append(k.get("mode"))
+        return real(*a, **k)
+
+    monkeypatch.setattr(allpairs_mod, "sharded_chunked_dispatch", spy)
+    for mode in ("global", "semiglobal", "local"):
+        for tb in (False, True):
+            got = align_pairs_batched(
+                pairs, B62, (11, 1), mode, traceback=tb,
+                bucket_sizes=(31,), mesh=mesh, backend="pallas",
+            )
+            for (px, py), r in zip(pairs, got):
+                want = align_profiles(px, py, B62, (11, 1), mode)
+                assert r.score == want.score, (mode, tb)
+                if tb:
+                    np.testing.assert_array_equal(r.cols_x, want.cols_x)
+                    np.testing.assert_array_equal(r.cols_y, want.cols_y)
+                else:
+                    assert r.length == want.length, (mode, tb)
+    assert calls, "the sharded chunked route was not taken"

@@ -169,8 +169,14 @@ def bench_utilization() -> dict:
     Then counts the DP's vector ops and state-row bytes per cell (jaxpr
     inspection + the kernel's scratch-row structure, both including the
     ~2x wavefront lane-slot inflation at square shapes) and reports the
-    headline dispatch's utilization of each roofline.  The primary value
-    is VMEM utilization — the DP is bandwidth-bound, not ALU-bound."""
+    headline dispatch's utilization of each roofline.
+
+    The primary value is now ALU (op-issue) utilization: round 4's
+    register-tiled counter-experiment (tools/onchip_tiled.py) cut state-row
+    traffic up to 32x and got SLOWER at every tile shape, establishing that
+    Mosaic overlaps the row traffic with compute and the DP is op-issue
+    bound — the round-3 reading of VMEM utilization as the binding
+    resource was a red herring.  Both rooflines are still reported."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -272,13 +278,13 @@ def bench_utilization() -> dict:
     vmem_util = headline["value"] * bytes_per_cell / vmem_bytes_per_s
     alu_util = headline["value"] * ops_per_cell / alu_ops_per_s
     return {
-        "metric": "vmem_utilization",
-        "value": vmem_util,
-        "unit": "fraction of measured VMEM row-traffic roofline",
-        "vs_baseline": vmem_util,
+        "metric": "alu_utilization",
+        "value": alu_util,
+        "unit": "fraction of measured elementwise ALU roofline (the binding resource; see docstring)",
+        "vs_baseline": alu_util,
         "vmem_roofline_bytes_per_s": vmem_bytes_per_s,
         "alu_roofline_ops_per_s": alu_ops_per_s,
-        "alu_utilization": alu_util,
+        "vmem_utilization": vmem_util,
         "dp_lane_ops_per_step": ops_per_step_lane,
         "dp_ops_per_cell": ops_per_cell,
         "dp_bytes_per_cell": bytes_per_cell,

@@ -90,19 +90,30 @@ def _dispatch_core(cx, inv_x, cy, inv_y, s, lx, ly, *, gap_series, mode,
             gap_series=gap_series, mode=mode, traceback=traceback,
         )
     elif backend == "pallas":
+        # b-major hs (round 4): transpose-free producer + resident
+        # self-tiles — +12-14% producer, +3-4% end to end on the v5e
+        # (tools/onchip_hslayout.py), bit-identical.  int8/int16 hs stays
+        # d-major: narrow dtypes would force a 32-step DP unroll (sublane
+        # granularity).  PRALINE_HS_LAYOUT overrides for A/B.
+        import os as _os
+
+        hs_layout = _os.environ.get(
+            "PRALINE_HS_LAYOUT", "bmajor" if qd is None else "dmajor"
+        )
         hs = fused_skewed_scores(
             cx, inv_x, cy, inv_y, s,
             out_dtype=qd if qd is not None else jnp.float32,
             scaled=qd is None,
             mxu_precision=mxp,
+            layout=hs_layout,
         )
-        # unroll stays 1: 8 diagonals per Mosaic grid step gains +6% on
-        # the bare two-kernel (tools/onchip_unroll.py) but its VMEM cost
-        # halves the batch block, and the production super-dispatch
-        # measured neutral-to-slower with it (5.8-5.96 vs 6.06e9 cells/s).
+        # unroll stays 1 on the d-major path: 8 diagonals per Mosaic grid
+        # step gains +6% on the bare two-kernel (tools/onchip_unroll.py)
+        # but its VMEM cost halves the batch block (b-major forces 8 by
+        # sublane granularity and still wins through the producer).
         out = wavefront_dp_pallas(
             hs, lx, ly, gap_series=gap_series, mode=mode,
-            traceback=traceback, hs_body=True,
+            traceback=traceback, hs_body=True, hs_layout=hs_layout,
         )
     else:
         hs = skewed_pair_scores(cx, inv_x, cy, inv_y, s)

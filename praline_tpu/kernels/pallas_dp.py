@@ -686,7 +686,14 @@ def wavefront_dp_pallas(
     if chunked and not hs_body:
         raise ValueError("chunked execution requires the body hs layout")
     steps = rows if hs_body else D - 2
+    if bmajor and unroll < 8:
+        # Mosaic needs the second-minor block dim divisible by 8: the
+        # b-major layout puts steps on sublanes, so the DP must consume
+        # (at least) 8 diagonals per grid block.
+        unroll = 8
     if unroll > 1 and (not hs_body or steps % unroll):
+        if bmajor:
+            raise ValueError("bmajor hs needs steps divisible by 8")
         unroll = 1  # unrolling needs the padded body layout
     grid_d = steps // unroll
     k = len(gap_series)

@@ -59,8 +59,13 @@ for mode in MODES:
             *map(jnp.asarray, (cx, ivx, cy, ivy, s, lx, ly)),
             gap_series=gs, mode=mode, traceback=True, interpret=False,
         )
+        hsb = fused_skewed_scores(*args, layout="bmajor")
+        bmj = wavefront_dp_pallas(
+            hsb, jnp.asarray(lx), jnp.asarray(ly), gap_series=gs, mode=mode,
+            traceback=True, hs_body=True, hs_layout="bmajor", interpret=False,
+        )
         tbw = np.asarray(want["tb"])
-        for name, got in (("pallas", pal), ("fused", fus)):
+        for name, got in (("pallas", pal), ("fused", fus), ("bmajor", bmj)):
             for key in ("score", "ti", "tj", "tcode"):
                 np.testing.assert_array_equal(
                     np.asarray(want[key]), np.asarray(got[key]),

@@ -334,3 +334,254 @@ def fused_skewed_scores(
         interpret=bool(interpret),
     )(*tp_ops, cy4, cy4, invx4, invy4, invy4)
     return hs_body[:B] if bmajor else hs_body[:, :B, :]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("K", "R", "out_dtype", "scaled", "interpret",
+                     "mxu_precision", "layout"),
+)
+def fused_skewed_scores_strip(
+    cx: jax.Array,  # f32[B, Lx, A] integer-valued counts, B = B_slots * R
+    inv_x: jax.Array,  # f32[B, Lx]
+    cy: jax.Array,  # f32[B, Ly, A]
+    inv_y: jax.Array,  # f32[B, Ly]
+    s: jax.Array,  # f32[A, A]
+    K: int,
+    R: int,
+    out_dtype=jnp.float32,
+    scaled: bool = True,
+    interpret: bool | None = None,
+    mxu_precision: str = "highest",
+    layout: str = "dmajor",
+):
+    """Strip-packed skewed scores (kernels.strip): R problems share one
+    problem-row, problem ``r`` of a slot occupying global strip columns
+    ``[r*K, r*K + Ly]`` — strip row ``d``, lane ``i`` holds
+    ``H_r[i-1, jl-1]`` with ``jg = d - i``, ``r = jg // K``,
+    ``jl = jg mod K``.  Problems enter as slot-major groups of R
+    (problem ``p = slot*R + r``).
+
+    Geometry: with strip steps based at d=0 the window shift is 128
+    (p = 128 + d - i), so the two-aligned-tile trick of
+    :func:`fused_skewed_scores` carries over with the SAME index maps
+    (c_lo = s - ib), and because ``K`` is a multiple of 128 every cys tile's
+    live rows belong to exactly ONE problem — the x-side operands are
+    fetched per tile at ``r(c) = (c - 1) // (K // 128)``.  Values are
+    bit-identical to the per-problem producer: splitting the concatenated
+    cy-row axis into two dots changes no per-element contraction.
+
+    Output rows cover strip steps [0, ceil((R*K + Lx + 1)/128)*128).
+    """
+    if mxu_precision not in ("highest", "fast"):
+        raise ValueError(f"unknown mxu_precision {mxu_precision!r}")
+    if layout not in ("dmajor", "bmajor"):
+        raise ValueError(f"unknown layout {layout!r}")
+    if K % TILE:
+        raise ValueError("strip slot stride K must be a multiple of 128")
+    bmajor = layout == "bmajor"
+    fast = mxu_precision == "fast"
+    t_prec = jax.lax.Precision.DEFAULT if fast else HIGHEST
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, Lx, A = cx.shape
+    Ly = cy.shape[1]
+    Lp = Lx + 1
+    if B % R:
+        raise ValueError("problem count must be a multiple of R (slot-major)")
+    if Ly + 1 > K or Lp > K:
+        raise ValueError("strip stride K must cover Ly+1 and Lx+1")
+    Bs = B // R
+    KT = K // TILE
+
+    Bs_run = _ceil_to(Bs, PB)
+    if Bs_run != Bs:
+        pad = (Bs_run - Bs) * R
+        cx = jnp.pad(cx, ((0, pad), (0, 0), (0, 0)))
+        inv_x = jnp.pad(inv_x, ((0, pad), (0, 0)), constant_values=1.0)
+        cy = jnp.pad(cy, ((0, pad), (0, 0), (0, 0)))
+        inv_y = jnp.pad(inv_y, ((0, pad), (0, 0)), constant_values=1.0)
+
+    # x-side packing is identical to the per-problem producer; the unused
+    # y-side outputs are dead code XLA eliminates.
+    tp4, _, invx4, _, LxT, _, I, A8 = _pack_operands(
+        cx, inv_x, cy, inv_y, s, t_precision=t_prec
+    )
+    tp5 = tp4.reshape(Bs_run, R, I, A8, TILE)
+    invx5 = invx4.reshape(Bs_run, R, I, 8, TILE)
+    if fast:
+        # Same integer split as fused_skewed_scores (see its docstring).
+        ti = tp5.astype(jnp.int32)
+        hi_i = (ti // 128) * 128
+        tp_ops = (
+            hi_i.astype(jnp.bfloat16),
+            (ti - hi_i).astype(jnp.bfloat16),
+        )
+    else:
+        tp_ops = (tp5,)
+
+    # Strip cys: Cy_r[q] at row 129 + r*K + q (128 zero rows in front, one
+    # border row per slot, dead slot rows zero); inv_y rides the same rows
+    # over a base of ones (dead-row H is zero, 0 * 1 == 0).
+    blk = jnp.zeros((Bs_run, R, K, A), jnp.float32)
+    blk = blk.at[:, :, 1 : Ly + 1, :].set(cy.reshape(Bs_run, R, Ly, A))
+    cys = jnp.concatenate(
+        [
+            jnp.zeros((Bs_run, TILE, A), jnp.float32),
+            blk.reshape(Bs_run, R * K, A),
+            jnp.zeros((Bs_run, TILE, A), jnp.float32),
+        ],
+        axis=1,
+    )
+    CT = cys.shape[1] // TILE
+    cy4 = jnp.pad(
+        jnp.transpose(cys.reshape(Bs_run, CT, TILE, A), (0, 1, 3, 2)),
+        ((0, 0), (0, 0), (0, A8 - A), (0, 0)),
+    )
+    if fast:
+        cy4 = cy4.astype(jnp.bfloat16)
+    ivblk = jnp.ones((Bs_run, R, K), jnp.float32)
+    ivblk = ivblk.at[:, :, 1 : Ly + 1].set(inv_y.reshape(Bs_run, R, Ly))
+    ivrows = jnp.concatenate(
+        [
+            jnp.ones((Bs_run, TILE), jnp.float32),
+            ivblk.reshape(Bs_run, R * K),
+            jnp.ones((Bs_run, TILE), jnp.float32),
+        ],
+        axis=1,
+    )
+    invy4 = jnp.zeros((Bs_run, CT, 8, TILE), jnp.float32)
+    invy4 = invy4.at[:, :, 0, :].set(ivrows.reshape(Bs_run, CT, TILE))
+
+    D_strip = R * K + Lp  # steps d in [0, R*K + Lx]
+    S_steps = -(-D_strip // TILE)
+
+    if bmajor:
+        def G(f):
+            return lambda b, i, s_: f(b, s_, i)
+    else:
+        def G(f):
+            return f
+
+    def _rc(c):
+        return jnp.clip((jnp.clip(c, 0, CT - 1) - 1) // KT, 0, R - 1)
+
+    def tp_lo(b, s_, i):
+        return (b, _rc(s_ - i), i, 0, 0)
+
+    def tp_hi(b, s_, i):
+        return (b, _rc(s_ - i + 1), i, 0, 0)
+
+    def lo_tile(b, s_, i):
+        return (b, jnp.clip(s_ - i, 0, CT - 1), 0, 0)
+
+    def hi_tile(b, s_, i):
+        return (b, jnp.clip(s_ - i + 1, 0, CT - 1), 0, 0)
+
+    n_tp = len(tp_ops)
+
+    def kernel(*refs):
+        tplo_refs = refs[:n_tp]
+        tphi_refs = refs[n_tp : 2 * n_tp]
+        cylo_ref, cyhi_ref = refs[2 * n_tp : 2 * n_tp + 2]
+        ivxlo_ref, ivxhi_ref, ivlo_ref, ivhi_ref, out_ref = refs[2 * n_tp + 2 :]
+        if bmajor:
+            s_id = pl.program_id(2)
+            i_blk = pl.program_id(1)
+        else:
+            s_id = pl.program_id(1)
+            i_blk = pl.program_id(2)
+        c_lo = s_id - i_blk
+        c_hi = c_lo + 1
+
+        ok_lo = (c_lo >= 0) & (c_lo < CT)
+        ok_hi = (c_hi >= 0) & (c_hi < CT)
+        zero = jnp.zeros((), cylo_ref.dtype)
+        cylo = jnp.where(ok_lo, cylo_ref[:, 0], zero)
+        cyhi = jnp.where(ok_hi, cyhi_ref[:, 0], zero)
+
+        # Per-tile problem operands: the hi/lo cy tiles may belong to
+        # different problems of the slot, so each gets its own T (and
+        # inv_x) fetch — two half dots instead of one concatenated dot,
+        # same per-element contractions.
+        dn = (((1,), (1,)), ((0,), (0,)))
+        h_hi = jax.lax.dot_general(
+            cyhi, tphi_refs[0][:, 0, 0], dn,
+            preferred_element_type=jnp.float32,
+            **({} if fast else dict(precision=HIGHEST)),
+        )
+        h_lo = jax.lax.dot_general(
+            cylo, tplo_refs[0][:, 0, 0], dn,
+            preferred_element_type=jnp.float32,
+            **({} if fast else dict(precision=HIGHEST)),
+        )
+        if fast:
+            h_hi = h_hi + jax.lax.dot_general(
+                cyhi, tphi_refs[1][:, 0, 0], dn,
+                preferred_element_type=jnp.float32,
+            )
+            h_lo = h_lo + jax.lax.dot_general(
+                cylo, tplo_refs[1][:, 0, 0], dn,
+                preferred_element_type=jnp.float32,
+            )
+        if scaled:
+            h_hi = (h_hi * ivxhi_ref[:, 0, 0, 0][:, None, :]) * ivhi_ref[:, 0, 0][:, :, None]
+            h_lo = (h_lo * ivxlo_ref[:, 0, 0, 0][:, None, :]) * ivlo_ref[:, 0, 0][:, :, None]
+        if bmajor:
+            stack = jnp.concatenate([h_hi, h_lo], axis=1)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (PB, 2 * TILE, TILE), 2)
+            for bit in range(7):
+                amt = 1 << bit
+                take = (lane & amt) != 0
+                stack = jnp.where(take, pltpu.roll(stack, amt, 1), stack)
+            out_ref[:, :, :] = stack[:, :TILE].astype(out_dtype)
+            return
+        stack = jnp.transpose(jnp.concatenate([h_hi, h_lo], axis=1), (1, 0, 2))
+        lane = jax.lax.broadcasted_iota(jnp.int32, (2 * TILE, PB, TILE), 2)
+        for bit in range(7):
+            amt = 1 << bit
+            take = (lane & amt) != 0
+            stack = jnp.where(take, pltpu.roll(stack, amt, 0), stack)
+        out_ref[:, :, :] = stack[:TILE].astype(out_dtype)
+
+    spec_tp = lambda f: pl.BlockSpec(
+        (PB, 1, 1, A8, TILE), G(f), memory_space=pltpu.VMEM
+    )
+    spec_cy = lambda f: pl.BlockSpec(
+        (PB, 1, A8, TILE), G(f), memory_space=pltpu.VMEM
+    )
+    spec_ivx = lambda f: pl.BlockSpec(
+        (PB, 1, 1, 8, TILE), G(f), memory_space=pltpu.VMEM
+    )
+    spec_ivy = lambda f: pl.BlockSpec(
+        (PB, 1, 8, TILE), G(f), memory_space=pltpu.VMEM
+    )
+    in_specs = (
+        [spec_tp(tp_lo) for _ in tp_ops]
+        + [spec_tp(tp_hi) for _ in tp_ops]
+        + [spec_cy(lo_tile), spec_cy(hi_tile)]
+        + [spec_ivx(tp_lo), spec_ivx(tp_hi)]
+        + [spec_ivy(lo_tile), spec_ivy(hi_tile)]
+    )
+    if bmajor:
+        out_spec = pl.BlockSpec(
+            (PB, TILE, TILE), G(lambda b, s_, i: (b, s_, i)),
+            memory_space=pltpu.VMEM,
+        )
+        out_shape = jax.ShapeDtypeStruct((Bs_run, S_steps * TILE, LxT), out_dtype)
+        grid = (Bs_run // PB, I, S_steps)
+    else:
+        out_spec = pl.BlockSpec(
+            (TILE, PB, TILE), lambda b, s_, i: (s_, b, i), memory_space=pltpu.VMEM
+        )
+        out_shape = jax.ShapeDtypeStruct((S_steps * TILE, Bs_run, LxT), out_dtype)
+        grid = (Bs_run // PB, S_steps, I)
+    hs_body = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=out_shape,
+        interpret=bool(interpret),
+    )(*tp_ops, *tp_ops, cy4, cy4, invx5, invx5, invy4, invy4)
+    return hs_body[:Bs] if bmajor else hs_body[:, :Bs, :]

@@ -1,0 +1,616 @@
+"""Strip-packed wavefront DP: R problems per lane-row (SURVEY.md §9 P2).
+
+The classic wavefront layout (kernels.pallas_dp) walks D = Lx+Ly-1
+anti-diagonals over Lp = Lx+1 lanes, so a square problem keeps only ~50% of
+the lanes on real cells (the wavefront ramps up and down).  This kernel
+packs a STRIP of R problems along the column axis of one problem-row:
+problem ``r`` of a slot owns global strip columns ``[r*K, r*K + Ly]``
+(K a power-of-two multiple of 128, K >= max(Lx+1, Ly+1)), so while one
+problem's band drains from the low lanes the next problem's band grows into
+them — steady-state lane utilization is Lx*Ly/(K*Lp) * R/(R+1) (~94% for
+the square 1023 bucket at R=16, measured ~50% before), and the skewed score
+tensor shrinks by the same factor.
+
+Coordinates: lane i holds cell (i, jl) of the problem owning global column
+jg = d - i, with r = jg // K and jl = jg mod K.  Exactly one lane per step
+crosses a problem seam (jl == 0, K >= Lp), where the kernel writes the
+j=0-column border values for the entering problem — the classic kernel's
+``atd`` border generalized.  Per-lane owner state (lxv/lyv) updates at the
+seam; terminal candidates accumulate into persistent rows (the round-4
+terminal-accumulation form) and are HARVESTED one lane per step as the seam
+retires that lane's previous owner, with §8.3/§8.4 tie-breaks preserved:
+per-lane accumulation resolves the j tie direction, harvest order (lanes in
+increasing i) resolves the i direction.
+
+Scores mode only (the all-pairs distance stage — the headline workload);
+traceback dispatches keep the classic kernel.  Bit-identical to
+kernels.scan.wavefront_dp per problem: same recurrence, same f32 ops per
+cell, same producer values (kernels.fused_scores.fused_skewed_scores_strip).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_dp import NEG, _collapse, _pick
+from .scan import _gap_prefix
+
+NEGH = np.float32(-1.0e29)  # "harvested a real candidate" threshold
+RP = 128  # slot-row lane count (max problems per strip row)
+
+
+def _scratch_names(k: int, mode: str, lengths: bool) -> list[str]:
+    names = ["m1", "r1v", "r2v", "ix1", "iy1", "jlv", "lxv", "lyv", "tvr"]
+    if mode != "global":
+        names += ["tjr"]
+    if lengths:
+        names += ["lm1", "r1l", "r2l", "lix1", "liy1", "tlr"]
+    names += ["sv", "sti", "stj"]
+    if lengths:
+        names += ["sl"]
+    return names
+
+
+def _make_strip_kernel(grid_d, Bblk, Lp, K, R, k, gap_series, mode, lengths,
+                       quantized, unroll, bmajor_hs):
+    g = [np.float32(x) for x in gap_series]
+    collapsed, kc = _collapse(k)
+    local = mode == "local"
+    semi = mode == "semiglobal"
+    border_m = np.float32(0.0 if local else NEG)
+    names = _scratch_names(k, mode, lengths)
+    log2k = K.bit_length() - 1
+    assert K == 1 << log2k and K % 128 == 0 and K >= Lp
+
+    def prio(m, ixs, iys, lm=None, lixs=None, liys=None):
+        v = m
+        ln = lm
+        for l in range(len(ixs)):
+            b = ixs[l] > v
+            v = jnp.where(b, ixs[l], v)
+            if ln is not None:
+                ln = jnp.where(b, lixs[l], ln)
+        for l in range(len(iys)):
+            b = iys[l] > v
+            v = jnp.where(b, iys[l], v)
+            if ln is not None:
+                ln = jnp.where(b, liys[l], ln)
+        return v, ln
+
+    def kernel(cum_ref, cumv_ref, lxall_ref, lyall_ref, hs_ref,
+               score_ref, len_ref, ti_ref, tj_ref, *scr):
+        S = dict(zip(names, scr))
+        lane = jax.lax.broadcasted_iota(jnp.int32, (Bblk, Lp), 1)
+        laneR = jax.lax.broadcasted_iota(jnp.int32, (Bblk, RP), 1)
+        negs = jnp.full((Bblk, Lp), NEG, jnp.float32)
+        zeros = jnp.zeros((Bblk, Lp), jnp.float32)
+
+        @pl.when(pl.program_id(1) == 0)
+        def _init():
+            # Everything flows through the seam logic, including problem 0's
+            # borders: jlv holds jl(d-1) so the first _diag step (d=0) seams
+            # lane 0 (the (0,0) corner).
+            S["jlv"][:, :] = (K - 1) - lane
+            S["lxv"][:, :] = jnp.full((Bblk, Lp), -1, jnp.int32)
+            S["lyv"][:, :] = jnp.full((Bblk, Lp), -1, jnp.int32)
+            S["m1"][:, :] = negs
+            S["r1v"][:, :] = negs
+            S["r2v"][:, :] = negs
+            for l in range(kc):
+                S["ix1"][l] = negs
+                S["iy1"][l] = negs
+                if lengths:
+                    S["lix1"][l] = zeros
+                    S["liy1"][l] = zeros
+            S["tvr"][:, :] = negs
+            if mode != "global":
+                S["tjr"][:, :] = jnp.full((Bblk, Lp), -1, jnp.int32)
+            if lengths:
+                S["lm1"][:, :] = zeros
+                S["r1l"][:, :] = zeros
+                S["r2l"][:, :] = zeros
+                S["tlr"][:, :] = negs
+            S["sv"][:, :] = jnp.full((Bblk, RP), NEG, jnp.float32)
+            S["sti"][:, :] = jnp.zeros((Bblk, RP), jnp.int32)
+            S["stj"][:, :] = jnp.zeros((Bblk, RP), jnp.int32)
+            if lengths:
+                S["sl"][:, :] = jnp.zeros((Bblk, RP), jnp.float32)
+
+        def shift_v(v):
+            return jnp.where(lane == 0, NEG, pltpu.roll(v, 1, 1))
+
+        def shift_z(v):
+            zero = jnp.zeros((), v.dtype)
+            return jnp.where(lane == 0, zero, pltpu.roll(v, 1, 1))
+
+        def _diag(u):
+            d = pl.program_id(1) * unroll + u
+            j0 = jax.lax.bitwise_and(d, K - 1)  # lane-0 column = d mod K
+            r0 = jax.lax.shift_right_logical(d, log2k)  # entering problem
+            hraw = hs_ref[:, u, :] if bmajor_hs else hs_ref[u, :, :]
+            hrow = hraw.astype(jnp.float32) if quantized else hraw
+
+            # Column clock: jl = (d - lane) mod K per lane, maintained as
+            # state (one add + wrap); the wrap IS the seam mask.
+            jlt = S["jlv"][:, :] + 1
+            seam = jlt == K
+            jl = jnp.where(seam, 0, jlt)
+            S["jlv"][:, :] = jl
+
+            # Owner lengths: the seam lane adopts the entering problem's
+            # lx/ly (one masked reduce over the tiny slot row).
+            lxe = jnp.max(
+                jnp.where(laneR == r0, lxall_ref[:, :], -1), axis=1,
+                keepdims=True,
+            )
+            lye = jnp.max(
+                jnp.where(laneR == r0, lyall_ref[:, :], -1), axis=1,
+                keepdims=True,
+            )
+            lxv = jnp.where(seam, lxe, S["lxv"][:, :])
+            lyv = jnp.where(seam, lye, S["lyv"][:, :])
+            S["lxv"][:, :] = lxv
+            S["lyv"][:, :] = lyv
+
+            m1v = S["m1"][:, :]
+            m1s = shift_v(m1v)
+            b2vs = shift_v(S["r2v"][:, :])
+            if lengths:
+                lm1v = S["lm1"][:, :]
+                lm1s = shift_z(lm1v)
+                b2ls = shift_z(S["r2l"][:, :])
+
+            ix1 = [S["ix1"][l] for l in range(kc)]
+            iy1 = [S["iy1"][l] for l in range(kc)]
+            if lengths:
+                lix1 = [S["lix1"][l] for l in range(kc)]
+                liy1 = [S["liy1"][l] for l in range(kc)]
+            nix = [None] * kc
+            niy = [None] * kc
+            nlix = [None] * kc
+            nliy = [None] * kc
+            if collapsed:
+                ix1s = shift_v(ix1[0])
+                open_x = m1s - g[0]
+                ext_x = ix1s - g[1]
+                sx = ext_x > open_x
+                nix[0] = jnp.where(sx, ext_x, open_x)
+                open_y = m1v - g[0]
+                ext_y = iy1[0] - g[1]
+                sy = ext_y > open_y
+                niy[0] = jnp.where(sy, ext_y, open_y)
+                if lengths:
+                    lix1s = shift_z(lix1[0])
+                    nlix[0] = jnp.where(sx, lix1s, lm1s) + 1.0
+                    nliy[0] = jnp.where(sy, liy1[0], lm1v) + 1.0
+            elif k == 1:
+                ix1s = shift_v(ix1[0])
+                stay_x = ix1s > m1s
+                nix[0] = jnp.where(stay_x, ix1s, m1s) - g[0]
+                stay_y = iy1[0] > m1v
+                niy[0] = jnp.where(stay_y, iy1[0], m1v) - g[0]
+                if lengths:
+                    lix1s = shift_z(lix1[0])
+                    nlix[0] = jnp.where(stay_x, lix1s, lm1s) + 1.0
+                    nliy[0] = jnp.where(stay_y, liy1[0], lm1v) + 1.0
+            else:
+                ix1sl = [shift_v(v) for v in ix1]
+                nix[0] = m1s - g[0]
+                niy[0] = m1v - g[0]
+                for l in range(1, k - 1):
+                    nix[l] = ix1sl[l - 1] - g[l]
+                    niy[l] = iy1[l - 1] - g[l]
+                stay_x = ix1sl[k - 1] > ix1sl[k - 2]
+                nix[k - 1] = jnp.where(stay_x, ix1sl[k - 1], ix1sl[k - 2]) - g[k - 1]
+                stay_y = iy1[k - 1] > iy1[k - 2]
+                niy[k - 1] = jnp.where(stay_y, iy1[k - 1], iy1[k - 2]) - g[k - 1]
+                if lengths:
+                    lix1sl = [shift_z(v) for v in lix1]
+                    nlix[0] = lm1s + 1.0
+                    nliy[0] = lm1v + 1.0
+                    for l in range(1, k - 1):
+                        nlix[l] = lix1sl[l - 1] + 1.0
+                        nliy[l] = liy1[l - 1] + 1.0
+                    nlix[k - 1] = jnp.where(stay_x, lix1sl[k - 1], lix1sl[k - 2]) + 1.0
+                    nliy[k - 1] = jnp.where(stay_y, liy1[k - 1], liy1[k - 2]) + 1.0
+
+            nm = hrow + b2vs
+            nlm = (b2ls + 1.0) if lengths else None
+            if local:
+                nm = jnp.where(nm < 0.0, 0.0, nm)
+                if lengths:
+                    nlm = jnp.where(nm <= 0.0, 0.0, nlm)
+
+            # ---- seam / row borders (the classic atd/at0 generalized) ----
+            at0 = lane == 0
+            border = seam | at0
+            nm = jnp.where(border, border_m, nm)
+            if not local:
+                # corner (0, 0) of the entering problem: M = 0
+                nm = jnp.where(seam & at0, 0.0, nm)
+            if lengths:
+                nlm = jnp.where(border, 0.0, nlm)
+            j0f = j0.astype(jnp.float32)
+            lanef = lane.astype(jnp.float32)
+            if local:
+                for l in range(kc):
+                    nix[l] = jnp.where(border, NEG, nix[l])
+                    niy[l] = jnp.where(border, NEG, niy[l])
+                    if lengths:
+                        nlix[l] = jnp.where(border, 0.0, nlix[l])
+                        nliy[l] = jnp.where(border, 0.0, nliy[l])
+            else:
+                if semi:
+                    bxv = zeros
+                    bys = np.float32(0.0)
+                else:
+                    bxv = -cumv_ref[:1, :]  # (1, Lp) broadcasts over Bblk
+                    bys = -cum_ref[0, j0]
+                if collapsed or k == 1:
+                    nix[0] = jnp.where(at0, NEG, jnp.where(seam, bxv, nix[0]))
+                    niy[0] = jnp.where(seam, NEG, jnp.where(at0, bys, niy[0]))
+                    if lengths:
+                        nlix[0] = jnp.where(seam, lanef, jnp.where(at0, 0.0, nlix[0]))
+                        nliy[0] = jnp.where(at0, j0f, jnp.where(seam, 0.0, nliy[0]))
+                else:
+                    lvl_j = jnp.minimum(j0, k)
+                    for l in range(kc):
+                        onx = jnp.minimum(lane, k) == l + 1
+                        nix[l] = jnp.where(
+                            at0, NEG,
+                            jnp.where(seam, jnp.where(onx, bxv, NEG), nix[l]),
+                        )
+                        ony = lvl_j == l + 1
+                        niy[l] = jnp.where(
+                            seam, NEG,
+                            jnp.where(at0, jnp.where(ony, bys, NEG), niy[l]),
+                        )
+                        if lengths:
+                            nlix[l] = jnp.where(seam, lanef, jnp.where(at0, 0.0, nlix[l]))
+                            nliy[l] = jnp.where(at0, j0f, jnp.where(seam, 0.0, nliy[l]))
+
+            bv, bl = prio(nm, nix, niy,
+                          nlm if lengths else None,
+                          nlix if lengths else None,
+                          nliy if lengths else None)
+
+            # ---- terminal accumulation (per lane, current owner) ----
+            tvr = S["tvr"][:, :]
+            if lengths:
+                tlr = S["tlr"][:, :]
+            if mode == "global":
+                tmask = (jl == lyv) & (lane == lxv)
+                tn = jnp.where(tmask, bv, tvr)
+                tln = jnp.where(tmask, bl, tlr) if lengths else None
+                tjn = None
+            elif semi:
+                tjr = S["tjr"][:, :]
+                cand = ((lane == lxv) & (jl <= lyv)) | ((jl == lyv) & (lane <= lxv))
+                # on the seam lane the accumulator belongs to the RETIRING
+                # owner; the entering problem's candidate compares fresh
+                repl = cand & ((bv >= tvr) | seam)
+                # The entering problem's (lx, 0) border cell IS a semiglobal
+                # candidate and lands on the seam lane at the seam step —
+                # it must not pollute the retiring owner's harvest (and must
+                # survive the seam reset), so it is applied after both.
+                repl_o = repl & ~seam
+                tn = jnp.where(repl_o, bv, tvr)
+                tjn = jnp.where(repl_o, jl, tjr)
+                tln = jnp.where(repl_o, bl, tlr) if lengths else None
+            else:  # local: terminals are M cells, smallest i then smallest j
+                tjr = S["tjr"][:, :]
+                valid = (lane >= 1) & (lane <= lxv) & (jl >= 1) & (jl <= lyv)
+                repl = valid & (nm > tvr)
+                tn = jnp.where(repl, nm, tvr)
+                tjn = jnp.where(repl, jl, tjr)
+                tln = jnp.where(repl, nlm, tlr) if lengths else None
+
+            # ---- harvest: the seam retires its lane's previous owner ----
+            # (reads the accumulated rows BEFORE the seam reset; the entering
+            # problem cannot place a candidate on its own seam step).
+            hv = _pick(tn, seam, NEG)  # (Bblk, 1): the single seam lane
+            real = hv > NEGH
+            smask = laneR == (r0 - 1)
+            if mode == "global":
+                repl_s = smask & real
+            elif semi:
+                # harvest order = increasing i; >= keeps the larger i on ties
+                repl_s = smask & real & (hv >= S["sv"][:, :])
+            else:
+                # local: strict > keeps the smallest i on ties
+                repl_s = smask & real & (hv > S["sv"][:, :])
+            S["sv"][:, :] = jnp.where(repl_s, hv, S["sv"][:, :])
+            S["sti"][:, :] = jnp.where(repl_s, j0, S["sti"][:, :])
+            if tjn is not None:
+                hj = _pick(tjn, seam, -1)
+                S["stj"][:, :] = jnp.where(repl_s, hj, S["stj"][:, :])
+            if lengths:
+                hl = _pick(tln, seam, NEG)
+                S["sl"][:, :] = jnp.where(repl_s, hl, S["sl"][:, :])
+
+            # seam resets (after harvest); in semiglobal the entering
+            # problem's seam-lane candidate applies after the reset
+            if semi:
+                repl_n = repl & seam
+                S["tvr"][:, :] = jnp.where(repl_n, bv, jnp.where(seam, NEG, tn))
+                S["tjr"][:, :] = jnp.where(repl_n, jl, jnp.where(seam, -1, tjn))
+                if lengths:
+                    S["tlr"][:, :] = jnp.where(
+                        repl_n, bl, jnp.where(seam, NEG, tln)
+                    )
+            else:
+                S["tvr"][:, :] = jnp.where(seam, NEG, tn)
+                if tjn is not None:
+                    S["tjr"][:, :] = jnp.where(seam, -1, tjn)
+                if lengths:
+                    S["tlr"][:, :] = jnp.where(seam, NEG, tln)
+
+            # ---- write carries ----
+            S["m1"][:, :] = nm
+            for l in range(kc):
+                S["ix1"][l] = nix[l]
+                S["iy1"][l] = niy[l]
+                if lengths:
+                    S["lix1"][l] = nlix[l]
+                    S["liy1"][l] = nliy[l]
+            S["r2v"][:, :] = S["r1v"][:, :]
+            S["r1v"][:, :] = bv
+            if lengths:
+                S["lm1"][:, :] = nlm
+                S["r2l"][:, :] = S["r1l"][:, :]
+                S["r1l"][:, :] = bl
+
+        for u in range(unroll):
+            _diag(u)
+
+        @pl.when(pl.program_id(1) == grid_d - 1)
+        def _finish():
+            score_ref[:, :] = S["sv"][:, :]
+            len_ref[:, :] = (
+                S["sl"][:, :] if lengths else jnp.zeros((Bblk, RP), jnp.float32)
+            )
+            ti_ref[:, :] = S["sti"][:, :]
+            tj_ref[:, :] = S["stj"][:, :]
+
+    return kernel
+
+
+def strip_steps(Lp: int, K: int, R: int) -> int:
+    """Strip step count: the last problem's harvests end at R*K + Lp - 1."""
+    return R * K + Lp
+
+
+def strip_stride(bx: int, by: int) -> int | None:
+    """Slot stride K for a (bucket_x, bucket_y) group: the smallest
+    power-of-two multiple of 128 covering both Lx+1 and Ly+1 (producer tile
+    alignment needs 128 | K; one-seam-per-step and the cheap scalar clock
+    need K >= Lp and a power of two).  None when that K is degenerate."""
+    need = max(bx + 1, by + 1, 128)
+    K = 128
+    while K < need:
+        K *= 2
+    return K
+
+
+def _bytes_per_lane_strip(k: int, mode: str, lengths: bool, unroll: int,
+                          quantized: bool) -> int:
+    kc = _collapse(k)[1]
+    n32 = 3 + 2 * kc + 3 + 1  # m1/r1v/r2v + ix/iy + jlv/lxv/lyv + tvr
+    if mode != "global":
+        n32 += 1  # tjr
+    if lengths:
+        n32 += 3 + 2 * kc + 1
+    hs_b = (1 if quantized else 4) * unroll * 2  # double-buffered in-blocks
+    return 4 * (n32 + 2) + hs_b
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("K", "R", "gap_series", "mode", "lengths", "block_b",
+                     "interpret", "unroll", "hs_layout"),
+)
+def wavefront_dp_strip(
+    hs: jax.Array,  # f32/int8/int16 [D_pad, Bs, Lp] or [Bs, D_pad, Lp]
+    lx: jax.Array,  # int32[Bs, R]
+    ly: jax.Array,  # int32[Bs, R]
+    K: int,
+    R: int,
+    gap_series: tuple[int, ...] = (11, 1),
+    mode: str = "global",
+    lengths: bool = True,
+    block_b: int = 256,
+    interpret: bool | None = None,
+    unroll: int = 1,
+    hs_layout: str = "dmajor",
+):
+    """Run the strip DP over R problems per slot row; returns per-problem
+    ``score``/``length``/``ti``/``tj`` arrays of shape (Bs, R).
+
+    ``hs`` rows are strip steps (d starts at 0 — the producer layout of
+    kernels.fused_scores.fused_skewed_scores_strip); rows beyond
+    ``strip_steps(Lp, K, R)`` are padding the kernel walks harmlessly.
+    Slot padding: lx/ly entries of -1 mark dead problems (their outputs are
+    NEG/garbage and must be discarded by the caller).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if hs_layout not in ("dmajor", "bmajor"):
+        raise ValueError(f"unknown hs_layout {hs_layout!r}")
+    bmajor = hs_layout == "bmajor"
+    quantized = hs.dtype != jnp.float32
+    if bmajor:
+        Bs, rows, Lp = hs.shape
+    else:
+        rows, Bs, Lp = hs.shape
+    if K & (K - 1) or K % 128 or K < Lp:
+        raise ValueError("strip stride K must be a pow2 multiple of 128 >= Lp")
+    if R > RP - 1:
+        raise ValueError(f"R must be < {RP}")
+    if bmajor and unroll < 8:
+        unroll = 8  # sublane granularity (see pallas_dp)
+    if rows % unroll:
+        raise ValueError("hs rows must be a multiple of the unroll")
+    grid_d = rows // unroll
+    k = len(gap_series)
+
+    bytes_per_row = Lp * _bytes_per_lane_strip(k, mode, lengths, unroll, quantized)
+    vmem_rows = max(8, int(10e6 // max(bytes_per_row, 1)))
+    block_cap = 8
+    while block_cap * 2 <= vmem_rows:
+        block_cap *= 2
+    Bblk = min(block_b, Bs, block_cap)
+    pad = (-Bs) % Bblk
+    if pad:
+        bpad = ((0, pad), (0, 0), (0, 0)) if bmajor else ((0, 0), (0, pad), (0, 0))
+        hs = jnp.pad(hs, bpad)
+        lx = jnp.pad(lx, ((0, pad), (0, 0)), constant_values=-1)
+        ly = jnp.pad(ly, ((0, pad), (0, 0)), constant_values=-1)
+    Bs_run = Bs + pad
+    nb = Bs_run // Bblk
+
+    lx_all = jnp.pad(lx.astype(jnp.int32), ((0, 0), (0, RP - R)),
+                     constant_values=-1)
+    ly_all = jnp.pad(ly.astype(jnp.int32), ((0, 0), (0, RP - R)),
+                     constant_values=-1)
+
+    cum_np = _gap_prefix(gap_series, max(K, Lp))
+    cum = jnp.asarray(cum_np[:K], jnp.float32)[None, :]  # (1, K) SMEM
+    cumv = jnp.asarray(cum_np[:Lp], jnp.float32)[None, :]  # (1, Lp) VMEM
+
+    kernel = _make_strip_kernel(
+        grid_d, Bblk, Lp, K, R, k, tuple(gap_series), mode, lengths,
+        quantized, unroll, bmajor,
+    )
+
+    f32, i32 = jnp.float32, jnp.int32
+    if bmajor:
+        hs_spec = pl.BlockSpec(
+            (Bblk, unroll, Lp), lambda b, d: (b, d, 0), memory_space=pltpu.VMEM
+        )
+    else:
+        hs_spec = pl.BlockSpec(
+            (unroll, Bblk, Lp), lambda b, d: (d, b, 0), memory_space=pltpu.VMEM
+        )
+    slot_spec = lambda: pl.BlockSpec(
+        (Bblk, RP), lambda b, d: (b, 0), memory_space=pltpu.VMEM
+    )
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # cum (full)
+        pl.BlockSpec((1, Lp), lambda b, d: (0, 0), memory_space=pltpu.VMEM),
+        slot_spec(),  # lx_all
+        slot_spec(),  # ly_all
+        hs_spec,
+    ]
+    out_shape = (
+        jax.ShapeDtypeStruct((Bs_run, RP), f32),  # score
+        jax.ShapeDtypeStruct((Bs_run, RP), f32),  # length
+        jax.ShapeDtypeStruct((Bs_run, RP), i32),  # ti
+        jax.ShapeDtypeStruct((Bs_run, RP), i32),  # tj
+    )
+    out_specs = (slot_spec(), slot_spec(), slot_spec(), slot_spec())
+
+    kc = _collapse(k)[1]
+    scratch = []
+    for name in _scratch_names(k, mode, lengths):
+        if name in ("ix1", "iy1", "lix1", "liy1"):
+            scratch.append(pltpu.VMEM((kc, Bblk, Lp), f32))
+        elif name in ("jlv", "lxv", "lyv", "tjr"):
+            scratch.append(pltpu.VMEM((Bblk, Lp), i32))
+        elif name in ("sv", "sl"):
+            scratch.append(pltpu.VMEM((Bblk, RP), f32))
+        elif name in ("sti", "stj"):
+            scratch.append(pltpu.VMEM((Bblk, RP), i32))
+        else:  # m1, r1v, r2v, lm1, r1l, r2l, tvr, tlr
+            scratch.append(pltpu.VMEM((Bblk, Lp), f32))
+
+    score, length, ti, tj = pl.pallas_call(
+        kernel,
+        grid=(nb, grid_d),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        interpret=bool(interpret),
+    )(cum, cumv, lx_all, ly_all, hs)
+    return {
+        "score": score[:Bs, :R],
+        "length": length[:Bs, :R],
+        "ti": ti[:Bs, :R],
+        "tj": tj[:Bs, :R],
+    }
+
+
+def strip_dispatch_core(cx, inv_x, cy, inv_y, s, lx, ly, *, K, R, gap_series,
+                        mode, qd, mxp="highest", hs_layout="dmajor",
+                        interpret=None):
+    """Strip producer + strip DP, matching the scores-mode output contract
+    of kernels.batch._dispatch_core (score/length/ti/tj/tcode per problem).
+    Problems are grouped slot-major: problem ``p`` is slot ``p // R``,
+    strip position ``p % R``."""
+    from .fused_scores import fused_skewed_scores_strip
+
+    B = cx.shape[0]
+    Bs = B // R
+    hs = fused_skewed_scores_strip(
+        cx, inv_x, cy, inv_y, s, K=K, R=R,
+        out_dtype=qd if qd is not None else jnp.float32,
+        scaled=qd is None, mxu_precision=mxp, layout=hs_layout,
+        interpret=interpret,
+    )
+    out = wavefront_dp_strip(
+        hs, lx.reshape(Bs, R).astype(jnp.int32),
+        ly.reshape(Bs, R).astype(jnp.int32),
+        K=K, R=R, gap_series=tuple(gap_series), mode=mode,
+        hs_layout=hs_layout, interpret=interpret,
+    )
+    score = out["score"].reshape(B)
+    length = out["length"].reshape(B)
+    if mode == "global":
+        # the terminal cell is (lx, ly) by definition
+        ti = lx.astype(jnp.int32)
+        tj = ly.astype(jnp.int32)
+    else:
+        ti = out["ti"].reshape(B)
+        tj = out["tj"].reshape(B)
+    return {
+        "score": score,
+        "length": length,
+        "ti": ti,
+        "tj": tj,
+        "tcode": jnp.zeros((B,), jnp.int32),
+    }
+
+
+def strip_plan(B: int, bx: int, by: int, gap_series, lengths: bool = True):
+    """Route decision for a scores-mode dispatch of B problems in bucket
+    (bx, by): returns (K, R) when the strip is admissible and profitable,
+    else None.  Profitability compares per-problem lane-step volume:
+    strip (K + Lp/R) vs classic (bx + by + 1)."""
+    from .pallas_dp import max_lanes
+
+    Lp = bx + 1
+    K = strip_stride(bx, by)
+    if K is None:
+        return None
+    # VMEM admission: the strip carries a few more rows than the classic
+    # kernel; stay under the classic ceiling with margin.
+    if Lp > int(0.85 * max_lanes(tuple(gap_series), False, lengths)):
+        return None
+    R = None
+    for r in (16, 8, 4):
+        if B % r == 0 and B // r >= 32:
+            R = r
+            break
+    if R is None:
+        return None
+    classic = bx + by + 1
+    strip = K + Lp / R + 128 / R  # + amortized row padding
+    if strip > 0.85 * classic:
+        return None
+    return K, R

@@ -1,0 +1,175 @@
+"""Strip-packed wavefront parity (kernels.strip, SURVEY.md §5.2/§5.3):
+the R-problems-per-lane-row scores kernel and its strip producer must be
+bit-identical to the classic per-problem path across modes x gap series x
+ragged lengths x layouts x quantization."""
+
+import zlib
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from praline_tpu import ALPHABET_AA, builtin_score_matrix
+from praline_tpu.kernels.fused_scores import fused_skewed_scores_strip
+from praline_tpu.kernels.scan import wavefront_dp
+from praline_tpu.kernels.scores import skewed_pair_scores
+from praline_tpu.kernels.strip import (
+    strip_dispatch_core,
+    strip_plan,
+    strip_steps,
+    strip_stride,
+)
+
+B62 = builtin_score_matrix("blosum62")
+A = ALPHABET_AA.size
+
+MODES = ["global", "semiglobal", "local"]
+SERIES = [(11, 1), (3,), (5, 3, 1)]
+
+
+def _counts(rng, B, L, max_count=3):
+    c = rng.integers(0, max_count + 1, size=(B, L, A)).astype(np.float32)
+    zero = c.sum(axis=2) == 0
+    c[zero] += np.eye(A, dtype=np.float32)[0]
+    tot = c.sum(axis=2)
+    return c, (1.0 / tot).astype(np.float32)
+
+
+def _workload(rng, B, bx, by):
+    cx, inv_x = _counts(rng, B, bx)
+    cy, inv_y = _counts(rng, B, by)
+    lx = rng.integers(1, bx + 1, size=B).astype(np.int32)
+    ly = rng.integers(1, by + 1, size=B).astype(np.int32)
+    return cx, inv_x, cy, inv_y, lx, ly
+
+
+def test_strip_producer_matches_classic_skew():
+    rng = np.random.default_rng(7)
+    B, bx, by, R = 8, 21, 30, 4
+    K = strip_stride(bx, by)
+    assert K == 128
+    cx, inv_x, cy, inv_y, lx, ly = _workload(rng, B, bx, by)
+    s = jnp.asarray(B62.as_f32())
+    hs_ref = np.asarray(skewed_pair_scores(cx, inv_x, cy, inv_y, s))
+    hs_strip = np.asarray(
+        fused_skewed_scores_strip(cx, inv_x, cy, inv_y, s, K=K, R=R)
+    )
+    rows, Bs, LxT = hs_strip.shape
+    assert Bs == B // R and LxT >= bx + 1
+    assert rows >= strip_steps(bx + 1, K, R)
+    # strip row d, lane i == classic row d_local (= local diag), problem p
+    for p in range(B):
+        slot, r = divmod(p, R)
+        for d_local in range(2, bx + by + 1):
+            d = r * K + d_local
+            got = hs_strip[d, slot, : bx + 1]
+            want = hs_ref[d_local, p, : bx + 1]
+            # classic skew zeroes non-interior lanes; the strip producer
+            # may hold neighbour-problem values there — compare interior
+            i = np.arange(bx + 1)
+            interior = (i >= 1) & (d_local - i >= 1) & (d_local - i <= by)
+            assert np.array_equal(got[interior], want[interior]), (p, d_local)
+
+
+@pytest.mark.parametrize("mode", MODES)
+@pytest.mark.parametrize("gap_series", SERIES)
+def test_strip_matches_classic_wavefront(mode, gap_series):
+    rng = np.random.default_rng(zlib.crc32(repr((mode, gap_series)).encode()))
+    B, bx, by, R = 16, 21, 25, 4
+    K = strip_stride(bx, by)
+    cx, inv_x, cy, inv_y, lx, ly = _workload(rng, B, bx, by)
+    s = jnp.asarray(B62.as_f32())
+
+    hs = skewed_pair_scores(cx, inv_x, cy, inv_y, s)
+    want = wavefront_dp(hs, lx, ly, gap_series=gap_series, mode=mode)
+
+    got = strip_dispatch_core(
+        jnp.asarray(cx), jnp.asarray(inv_x), jnp.asarray(cy),
+        jnp.asarray(inv_y), s, jnp.asarray(lx), jnp.asarray(ly),
+        K=K, R=R, gap_series=gap_series, mode=mode, qd=None,
+    )
+    np.testing.assert_array_equal(np.asarray(got["score"]), np.asarray(want["score"]))
+    np.testing.assert_array_equal(np.asarray(got["length"]), np.asarray(want["length"]))
+    np.testing.assert_array_equal(np.asarray(got["ti"]), np.asarray(want["ti"]))
+    np.testing.assert_array_equal(np.asarray(got["tj"]), np.asarray(want["tj"]))
+
+
+@pytest.mark.parametrize("mode", ["global", "local"])
+def test_strip_bmajor_layout_matches(mode):
+    rng = np.random.default_rng(11)
+    B, bx, by, R = 8, 17, 19, 4
+    K = strip_stride(bx, by)
+    cx, inv_x, cy, inv_y, lx, ly = _workload(rng, B, bx, by)
+    s = jnp.asarray(B62.as_f32())
+    hs = skewed_pair_scores(cx, inv_x, cy, inv_y, s)
+    want = wavefront_dp(hs, lx, ly, gap_series=(11, 1), mode=mode)
+    got = strip_dispatch_core(
+        jnp.asarray(cx), jnp.asarray(inv_x), jnp.asarray(cy),
+        jnp.asarray(inv_y), s, jnp.asarray(lx), jnp.asarray(ly),
+        K=K, R=R, gap_series=(11, 1), mode=mode, qd=None, hs_layout="bmajor",
+    )
+    np.testing.assert_array_equal(np.asarray(got["score"]), np.asarray(want["score"]))
+    np.testing.assert_array_equal(np.asarray(got["length"]), np.asarray(want["length"]))
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_strip_quantized_onehot_matches(mode):
+    rng = np.random.default_rng(13)
+    B, bx, by, R = 8, 21, 25, 4
+    K = strip_stride(bx, by)
+    toksx = rng.integers(0, 20, size=(B, bx)).astype(np.int32)
+    toksy = rng.integers(0, 20, size=(B, by)).astype(np.int32)
+    cx = np.eye(A, dtype=np.float32)[toksx]
+    cy = np.eye(A, dtype=np.float32)[toksy]
+    inv_x = np.ones((B, bx), np.float32)
+    inv_y = np.ones((B, by), np.float32)
+    lx = rng.integers(1, bx + 1, size=B).astype(np.int32)
+    ly = rng.integers(1, by + 1, size=B).astype(np.int32)
+    s = jnp.asarray(B62.as_f32())
+    hs = skewed_pair_scores(cx, inv_x, cy, inv_y, s)
+    want = wavefront_dp(hs, lx, ly, gap_series=(11, 1), mode=mode)
+    got = strip_dispatch_core(
+        jnp.asarray(cx), jnp.asarray(inv_x), jnp.asarray(cy),
+        jnp.asarray(inv_y), s, jnp.asarray(lx), jnp.asarray(ly),
+        K=K, R=R, gap_series=(11, 1), mode=mode, qd=jnp.int8,
+    )
+    np.testing.assert_array_equal(np.asarray(got["score"]), np.asarray(want["score"]))
+    np.testing.assert_array_equal(np.asarray(got["length"]), np.asarray(want["length"]))
+
+
+def test_strip_mass_ties_pin_tie_breaks():
+    # All-equal scores manufacture maximal terminal ties: semiglobal must
+    # keep larger i then larger j, local smaller i then smaller j.
+    B, bx, by, R = 4, 9, 9, 4
+    K = strip_stride(bx, by)
+    cx = np.zeros((B, bx, A), np.float32)
+    cx[:, :, 0] = 1.0
+    cy = np.zeros((B, by, A), np.float32)
+    cy[:, :, 0] = 1.0
+    inv = np.ones((B, bx), np.float32)
+    invy = np.ones((B, by), np.float32)
+    lx = np.array([9, 5, 7, 3], np.int32)
+    ly = np.array([9, 9, 4, 3], np.int32)
+    s0 = np.zeros((A, A), np.float32)  # every column-pair scores 0
+    for mode in ("semiglobal", "local"):
+        hs = skewed_pair_scores(cx, inv, cy, invy, jnp.asarray(s0))
+        want = wavefront_dp(hs, lx, ly, gap_series=(2, 1), mode=mode)
+        got = strip_dispatch_core(
+            jnp.asarray(cx), jnp.asarray(inv), jnp.asarray(cy),
+            jnp.asarray(invy), jnp.asarray(s0), jnp.asarray(lx),
+            jnp.asarray(ly), K=K, R=R, gap_series=(2, 1), mode=mode, qd=None,
+        )
+        for key in ("score", "length", "ti", "tj"):
+            np.testing.assert_array_equal(
+                np.asarray(got[key]), np.asarray(want[key]), err_msg=(mode, key)
+            )
+
+
+def test_strip_plan_admission():
+    # square big buckets profit; tiny or non-dividing batches do not
+    assert strip_plan(1024, 1023, 1023, (11, 1)) == (1024, 16)
+    assert strip_plan(128, 1023, 1023, (11, 1)) == (1024, 4)
+    assert strip_plan(48, 1023, 1023, (11, 1)) is None  # no R divides
+    assert strip_plan(32, 1023, 1023, (11, 1)) is None  # slots too few
+    # skewed buckets already utilize lanes well -> no route
+    assert strip_plan(1024, 127, 1023, (11, 1)) is None

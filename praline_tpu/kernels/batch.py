@@ -78,7 +78,31 @@ def _dispatch_core(cx, inv_x, cy, inv_y, s, lx, ly, *, gap_series, mode,
     from .scan import wavefront_dp
     from .scores import skewed_pair_scores
 
-    if backend == "pallas" and _fused_dp_enabled() and (
+    import os as _os
+
+    strip = None
+    if backend == "pallas" and not traceback:
+        # Strip-packed scores route (kernels.strip): R problems per
+        # lane-row lift square-bucket lane utilization from ~50% to ~94%
+        # and halve the hs tensor.  Admitted when the bucket shape profits
+        # (strip_plan); PRALINE_STRIP=0 disables, =1 forces when admissible.
+        from .strip import strip_plan
+
+        if _os.environ.get("PRALINE_STRIP", "auto") != "0":
+            strip = strip_plan(cx.shape[0], cx.shape[1], cy.shape[1], gap_series)
+    if strip is not None:
+        from .strip import strip_dispatch_core
+
+        hs_layout = _os.environ.get(
+            "PRALINE_HS_LAYOUT", "bmajor" if qd is None else "dmajor"
+        )
+        K, R = strip
+        out = strip_dispatch_core(
+            cx, inv_x, cy, inv_y, s, lx, ly, K=K, R=R,
+            gap_series=gap_series, mode=mode, qd=qd, mxp=mxp,
+            hs_layout=hs_layout,
+        )
+    elif backend == "pallas" and _fused_dp_enabled() and (
         -(-(cx.shape[1] + 1) // 128) * 128
         <= max_lanes_fused(gap_series, not traceback, traceback)
     ):

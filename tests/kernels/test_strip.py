@@ -165,6 +165,40 @@ def test_strip_mass_ties_pin_tie_breaks():
             )
 
 
+@pytest.mark.parametrize("mode", ["global", "semiglobal"])
+def test_strip_routes_through_batch_api(mode, monkeypatch):
+    # Force the pallas backend (interpret mode on CPU) at a shape the
+    # planner admits: bucket (127, 127), B=128 -> K=128, R=4.
+    from praline_tpu.kernels import align_pairs_batched
+    from praline_tpu.oracle import align_profiles
+    from praline_tpu.types import Profile
+
+    monkeypatch.setenv("PRALINE_STRIP", "auto")
+    rng = np.random.default_rng(23)
+    profs = []
+    for L in rng.integers(90, 128, size=40):
+        c = rng.integers(0, 3, size=(int(L), A)).astype(np.float32)
+        zero = c.sum(axis=1) == 0
+        c[zero, 0] = 1.0
+        profs.append(Profile(c, np.zeros(int(L), np.float32), ALPHABET_AA))
+    pairs = [
+        (profs[(3 * i) % 40], profs[(5 * i + 1) % 40]) for i in range(128)
+    ]
+    from praline_tpu.kernels.strip import strip_plan
+
+    assert strip_plan(128, 127, 127, (11, 1)) == (128, 4)
+    got = align_pairs_batched(
+        pairs, B62, (11, 1), mode, bucket_sizes=(127,), batch_pairs=128,
+        backend="pallas",
+    )
+    # spot-check a sample against the oracle (full 128 would crawl on CPU)
+    for i in range(0, 128, 17):
+        px, py = pairs[i]
+        want = align_profiles(px, py, B62, (11, 1), mode)
+        assert got[i].score == want.score, i
+        assert got[i].length == want.length, i
+
+
 def test_strip_plan_admission():
     # square big buckets profit; tiny or non-dividing batches do not
     assert strip_plan(1024, 1023, 1023, (11, 1)) == (1024, 16)

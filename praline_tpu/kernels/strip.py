@@ -38,22 +38,16 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_dp import NEG, _collapse, _pick
+from .pallas_dp import NEG, _collapse
 from .scan import _gap_prefix
-
-NEGH = np.float32(-1.0e29)  # "harvested a real candidate" threshold
-RP = 128  # slot-row lane count (max problems per strip row)
 
 
 def _scratch_names(k: int, mode: str, lengths: bool) -> list[str]:
-    names = ["m1", "r1v", "r2v", "ix1", "iy1", "jlv", "lxv", "lyv", "tvr"]
+    names = ["m1", "r1v", "r2v", "ix1", "iy1", "lxv", "lyv", "tvr"]
     if mode != "global":
         names += ["tjr"]
     if lengths:
         names += ["lm1", "r1l", "r2l", "lix1", "liy1", "tlr"]
-    names += ["sv", "sti", "stj"]
-    if lengths:
-        names += ["sl"]
     return names
 
 
@@ -83,20 +77,17 @@ def _make_strip_kernel(grid_d, Bblk, Lp, K, R, k, gap_series, mode, lengths,
                 ln = jnp.where(b, liys[l], ln)
         return v, ln
 
-    def kernel(cum_ref, cumv_ref, lxall_ref, lyall_ref, hs_ref,
-               score_ref, len_ref, ti_ref, tj_ref, *scr):
+    def kernel(cum_ref, cumv_ref, lxe_ref, lye_ref, hs_ref,
+               resv_ref, resl_ref, resj_ref, *scr):
         S = dict(zip(names, scr))
         lane = jax.lax.broadcasted_iota(jnp.int32, (Bblk, Lp), 1)
-        laneR = jax.lax.broadcasted_iota(jnp.int32, (Bblk, RP), 1)
         negs = jnp.full((Bblk, Lp), NEG, jnp.float32)
         zeros = jnp.zeros((Bblk, Lp), jnp.float32)
 
         @pl.when(pl.program_id(1) == 0)
         def _init():
             # Everything flows through the seam logic, including problem 0's
-            # borders: jlv holds jl(d-1) so the first _diag step (d=0) seams
-            # lane 0 (the (0,0) corner).
-            S["jlv"][:, :] = (K - 1) - lane
+            # borders: step d=0 seams lane 0 (the (0,0) corner).
             S["lxv"][:, :] = jnp.full((Bblk, Lp), -1, jnp.int32)
             S["lyv"][:, :] = jnp.full((Bblk, Lp), -1, jnp.int32)
             S["m1"][:, :] = negs
@@ -116,43 +107,48 @@ def _make_strip_kernel(grid_d, Bblk, Lp, K, R, k, gap_series, mode, lengths,
                 S["r1l"][:, :] = zeros
                 S["r2l"][:, :] = zeros
                 S["tlr"][:, :] = negs
-            S["sv"][:, :] = jnp.full((Bblk, RP), NEG, jnp.float32)
-            S["sti"][:, :] = jnp.zeros((Bblk, RP), jnp.int32)
-            S["stj"][:, :] = jnp.zeros((Bblk, RP), jnp.int32)
+
+        # Result-tape blocks: block r collects problem r's harvests (its
+        # window [(r+1)K, (r+2)K) covers the whole harvest span
+        # [(r+1)K, (r+1)K + Lp) since Lp <= K); initialize at first visit.
+        @pl.when(
+            jax.lax.bitwise_and(pl.program_id(1) * unroll, K - 1) == 0
+        )
+        def _init_tape():
+            resv_ref[:, :] = negs
+            if mode != "global":
+                resj_ref[:, :] = jnp.full((Bblk, Lp), -1, jnp.int32)
             if lengths:
-                S["sl"][:, :] = jnp.zeros((Bblk, RP), jnp.float32)
+                resl_ref[:, :] = negs
 
+        # Plain circular rolls: the wrap value landing in lane 0 is garbage,
+        # but every consumer's lane-0 result (nm, nix/niy, nlm, nlix/nliy)
+        # is overwritten by the at0 border writes below, so the classic
+        # kernel's lane-0 kill where()s are dead ops here (parity-tested).
         def shift_v(v):
-            return jnp.where(lane == 0, NEG, pltpu.roll(v, 1, 1))
+            return pltpu.roll(v, 1, 1)
 
-        def shift_z(v):
-            zero = jnp.zeros((), v.dtype)
-            return jnp.where(lane == 0, zero, pltpu.roll(v, 1, 1))
+        shift_z = shift_v
 
         def _diag(u):
             d = pl.program_id(1) * unroll + u
             j0 = jax.lax.bitwise_and(d, K - 1)  # lane-0 column = d mod K
-            r0 = jax.lax.shift_right_logical(d, log2k)  # entering problem
             hraw = hs_ref[:, u, :] if bmajor_hs else hs_ref[u, :, :]
             hrow = hraw.astype(jnp.float32) if quantized else hraw
 
-            # Column clock: jl = (d - lane) mod K per lane, maintained as
-            # state (one add + wrap); the wrap IS the seam mask.
-            jlt = S["jlv"][:, :] + 1
-            seam = jlt == K
-            jl = jnp.where(seam, 0, jlt)
-            S["jlv"][:, :] = jl
+            # Per-lane column index: jl = (d - lane) mod K (K pow2, so one
+            # sub + and); jl == 0 IS the seam.  Ramp-in lanes (d < lane)
+            # wrap to large positive jl and can never seam (|d - lane| < K)
+            # or match a terminal (lyv starts at -1).
+            jl = jax.lax.bitwise_and(d - lane, K - 1)
+            seam = jl == 0
 
             # Owner lengths: the seam lane adopts the entering problem's
-            # lx/ly (one masked reduce over the tiny slot row).
-            lxe = jnp.max(
-                jnp.where(laneR == r0, lxall_ref[:, :], -1), axis=1,
-                keepdims=True,
-            )
-            lye = jnp.max(
-                jnp.where(laneR == r0, lyall_ref[:, :], -1), axis=1,
-                keepdims=True,
-            )
+            # lx/ly, streamed as per-step columns (a masked reduce over the
+            # slot row measured slower on the v5e — the tables are tiny
+            # next to hs).
+            lxe = lxe_ref[0, :, u : u + 1]
+            lye = lye_ref[0, :, u : u + 1]
             lxv = jnp.where(seam, lxe, S["lxv"][:, :])
             lyv = jnp.where(seam, lye, S["lyv"][:, :])
             S["lxv"][:, :] = lxv
@@ -312,27 +308,17 @@ def _make_strip_kernel(grid_d, Bblk, Lp, K, R, k, gap_series, mode, lengths,
                 tln = jnp.where(repl, nlm, tlr) if lengths else None
 
             # ---- harvest: the seam retires its lane's previous owner ----
-            # (reads the accumulated rows BEFORE the seam reset; the entering
-            # problem cannot place a candidate on its own seam step).
-            hv = _pick(tn, seam, NEG)  # (Bblk, 1): the single seam lane
-            real = hv > NEGH
-            smask = laneR == (r0 - 1)
-            if mode == "global":
-                repl_s = smask & real
-            elif semi:
-                # harvest order = increasing i; >= keeps the larger i on ties
-                repl_s = smask & real & (hv >= S["sv"][:, :])
-            else:
-                # local: strict > keeps the smallest i on ties
-                repl_s = smask & real & (hv > S["sv"][:, :])
-            S["sv"][:, :] = jnp.where(repl_s, hv, S["sv"][:, :])
-            S["sti"][:, :] = jnp.where(repl_s, j0, S["sti"][:, :])
+            # The retiring lane's accumulated terminal (read BEFORE the seam
+            # reset; the entering problem cannot place a candidate on its own
+            # seam step — semiglobal's exception is handled above) lands in
+            # the current result-tape block IN PLACE: no cross-lane movement
+            # in-kernel, the per-problem tie-break reduction runs in XLA on
+            # the (R, Bs, Lp) tapes afterwards.
+            resv_ref[:, :] = jnp.where(seam, tn, resv_ref[:, :])
             if tjn is not None:
-                hj = _pick(tjn, seam, -1)
-                S["stj"][:, :] = jnp.where(repl_s, hj, S["stj"][:, :])
+                resj_ref[:, :] = jnp.where(seam, tjn, resj_ref[:, :])
             if lengths:
-                hl = _pick(tln, seam, NEG)
-                S["sl"][:, :] = jnp.where(repl_s, hl, S["sl"][:, :])
+                resl_ref[:, :] = jnp.where(seam, tln, resl_ref[:, :])
 
             # seam resets (after harvest); in semiglobal the entering
             # problem's seam-lane candidate applies after the reset
@@ -368,15 +354,6 @@ def _make_strip_kernel(grid_d, Bblk, Lp, K, R, k, gap_series, mode, lengths,
 
         for u in range(unroll):
             _diag(u)
-
-        @pl.when(pl.program_id(1) == grid_d - 1)
-        def _finish():
-            score_ref[:, :] = S["sv"][:, :]
-            len_ref[:, :] = (
-                S["sl"][:, :] if lengths else jnp.zeros((Bblk, RP), jnp.float32)
-            )
-            ti_ref[:, :] = S["sti"][:, :]
-            tj_ref[:, :] = S["stj"][:, :]
 
     return kernel
 
@@ -450,8 +427,8 @@ def wavefront_dp_strip(
         rows, Bs, Lp = hs.shape
     if K & (K - 1) or K % 128 or K < Lp:
         raise ValueError("strip stride K must be a pow2 multiple of 128 >= Lp")
-    if R > RP - 1:
-        raise ValueError(f"R must be < {RP}")
+    if R < 1:
+        raise ValueError("R must be >= 1")
     if bmajor and unroll < 8:
         unroll = 8  # sublane granularity (see pallas_dp)
     if rows % unroll:
@@ -474,10 +451,22 @@ def wavefront_dp_strip(
     Bs_run = Bs + pad
     nb = Bs_run // Bblk
 
-    lx_all = jnp.pad(lx.astype(jnp.int32), ((0, 0), (0, RP - R)),
-                     constant_values=-1)
-    ly_all = jnp.pad(ly.astype(jnp.int32), ((0, 0), (0, RP - R)),
-                     constant_values=-1)
+    # Per-step entering-owner tables: lxE[b, d] = lx[b, d >> log2K] (-1 past
+    # the last problem) — streamed as (Bblk, unroll) blocks so the kernel
+    # needs no per-step reduce to fetch the seam lane's owner lengths.
+    ridx = jnp.minimum(jnp.arange(rows, dtype=jnp.int32) // K, R)
+    lx_pad = jnp.concatenate(
+        [lx.astype(jnp.int32), jnp.full((Bs_run, 1), -1, jnp.int32)], axis=1
+    )
+    ly_pad = jnp.concatenate(
+        [ly.astype(jnp.int32), jnp.full((Bs_run, 1), -1, jnp.int32)], axis=1
+    )
+    # (grid_d, Bs, unroll) so the block's trailing dims satisfy Mosaic's
+    # (8, 128)-or-full tiling rule via the full-dim escape.
+    lxE = jnp.take(lx_pad, ridx, axis=1).reshape(
+        Bs_run, grid_d, unroll).transpose(1, 0, 2)
+    lyE = jnp.take(ly_pad, ridx, axis=1).reshape(
+        Bs_run, grid_d, unroll).transpose(1, 0, 2)
 
     cum_np = _gap_prefix(gap_series, max(K, Lp))
     cum = jnp.asarray(cum_np[:K], jnp.float32)[None, :]  # (1, K) SMEM
@@ -497,39 +486,42 @@ def wavefront_dp_strip(
         hs_spec = pl.BlockSpec(
             (unroll, Bblk, Lp), lambda b, d: (d, b, 0), memory_space=pltpu.VMEM
         )
-    slot_spec = lambda: pl.BlockSpec(
-        (Bblk, RP), lambda b, d: (b, 0), memory_space=pltpu.VMEM
+    table_spec = lambda: pl.BlockSpec(
+        (1, Bblk, unroll), lambda b, d: (d, b, 0), memory_space=pltpu.VMEM
     )
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # cum (full)
         pl.BlockSpec((1, Lp), lambda b, d: (0, 0), memory_space=pltpu.VMEM),
-        slot_spec(),  # lx_all
-        slot_spec(),  # ly_all
+        table_spec(),  # lxE
+        table_spec(),  # lyE
         hs_spec,
     ]
-    out_shape = (
-        jax.ShapeDtypeStruct((Bs_run, RP), f32),  # score
-        jax.ShapeDtypeStruct((Bs_run, RP), f32),  # length
-        jax.ShapeDtypeStruct((Bs_run, RP), i32),  # ti
-        jax.ShapeDtypeStruct((Bs_run, RP), i32),  # tj
+    log2k = K.bit_length() - 1
+
+    def tape_idx(b, d):
+        return (jnp.clip((d * unroll >> log2k) - 1, 0, R - 1), b, 0)
+
+    tape_spec = lambda: pl.BlockSpec(
+        (None, Bblk, Lp), tape_idx, memory_space=pltpu.VMEM
     )
-    out_specs = (slot_spec(), slot_spec(), slot_spec(), slot_spec())
+    out_shape = (
+        jax.ShapeDtypeStruct((R, Bs_run, Lp), f32),  # value tape
+        jax.ShapeDtypeStruct((R, Bs_run, Lp), f32),  # length tape
+        jax.ShapeDtypeStruct((R, Bs_run, Lp), i32),  # terminal-j tape
+    )
+    out_specs = (tape_spec(), tape_spec(), tape_spec())
 
     kc = _collapse(k)[1]
     scratch = []
     for name in _scratch_names(k, mode, lengths):
         if name in ("ix1", "iy1", "lix1", "liy1"):
             scratch.append(pltpu.VMEM((kc, Bblk, Lp), f32))
-        elif name in ("jlv", "lxv", "lyv", "tjr"):
+        elif name in ("lxv", "lyv", "tjr"):
             scratch.append(pltpu.VMEM((Bblk, Lp), i32))
-        elif name in ("sv", "sl"):
-            scratch.append(pltpu.VMEM((Bblk, RP), f32))
-        elif name in ("sti", "stj"):
-            scratch.append(pltpu.VMEM((Bblk, RP), i32))
         else:  # m1, r1v, r2v, lm1, r1l, r2l, tvr, tlr
             scratch.append(pltpu.VMEM((Bblk, Lp), f32))
 
-    score, length, ti, tj = pl.pallas_call(
+    resv, resl, resj = pl.pallas_call(
         kernel,
         grid=(nb, grid_d),
         in_specs=in_specs,
@@ -537,13 +529,26 @@ def wavefront_dp_strip(
         out_shape=out_shape,
         scratch_shapes=scratch,
         interpret=bool(interpret),
-    )(cum, cumv, lx_all, ly_all, hs)
-    return {
-        "score": score[:Bs, :R],
-        "length": length[:Bs, :R],
-        "ti": ti[:Bs, :R],
-        "tj": tj[:Bs, :R],
+    )(cum, cumv, lxE, lyE, hs)
+
+    # Per-problem tie-break reduction over the harvest tapes (XLA, cheap
+    # next to the strip): the winning lane IS the terminal i; §8.3 ties —
+    # semiglobal keeps the larger i (last max), local the smaller (first).
+    v = jnp.transpose(resv[:, :Bs, :], (1, 0, 2))  # (Bs, R, Lp)
+    if mode == "semiglobal":
+        idx = (Lp - 1) - jnp.argmax(v[:, :, ::-1], axis=-1)
+    else:
+        idx = jnp.argmax(v, axis=-1)
+    take = lambda t: jnp.take_along_axis(
+        jnp.transpose(t[:, :Bs, :], (1, 0, 2)), idx[:, :, None], axis=-1
+    )[:, :, 0]
+    out = {
+        "score": take(resv),
+        "length": take(resl) if lengths else jnp.zeros((Bs, R), f32),
+        "ti": idx.astype(i32),
+        "tj": take(resj) if mode != "global" else jnp.zeros((Bs, R), i32),
     }
+    return out
 
 
 def strip_dispatch_core(cx, inv_x, cy, inv_y, s, lx, ly, *, K, R, gap_series,
@@ -587,11 +592,14 @@ def strip_dispatch_core(cx, inv_x, cy, inv_y, s, lx, ly, *, K, R, gap_series,
     }
 
 
-def strip_plan(B: int, bx: int, by: int, gap_series, lengths: bool = True):
+def strip_plan(B: int, bx: int, by: int, gap_series, lengths: bool = True,
+               force: bool = False):
     """Route decision for a scores-mode dispatch of B problems in bucket
     (bx, by): returns (K, R) when the strip is admissible and profitable,
     else None.  Profitability compares per-problem lane-step volume:
-    strip (K + Lp/R) vs classic (bx + by + 1)."""
+    strip (K + Lp/R) vs classic (bx + by + 1).  ``force`` (PRALINE_STRIP=1)
+    drops the profit and batch-width gates — any admissible shape routes
+    (testing / A-B)."""
     from .pallas_dp import max_lanes
 
     Lp = bx + 1
@@ -603,14 +611,16 @@ def strip_plan(B: int, bx: int, by: int, gap_series, lengths: bool = True):
     if Lp > int(0.85 * max_lanes(tuple(gap_series), False, lengths)):
         return None
     R = None
-    for r in (16, 8, 4):
-        if B % r == 0 and B // r >= 32:
+    min_slots = 1 if force else 32
+    for r in (16, 8, 4) + ((2,) if force else ()):
+        if B % r == 0 and B // r >= min_slots:
             R = r
             break
     if R is None:
         return None
-    classic = bx + by + 1
-    strip = K + Lp / R + 128 / R  # + amortized row padding
-    if strip > 0.85 * classic:
-        return None
+    if not force:
+        classic = bx + by + 1
+        strip = K + Lp / R + 128 / R  # + amortized row padding
+        if strip > 0.85 * classic:
+            return None
     return K, R

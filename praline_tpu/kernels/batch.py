@@ -88,8 +88,12 @@ def _dispatch_core(cx, inv_x, cy, inv_y, s, lx, ly, *, gap_series, mode,
         # (strip_plan); PRALINE_STRIP=0 disables, =1 forces when admissible.
         from .strip import strip_plan
 
-        if _os.environ.get("PRALINE_STRIP", "auto") != "0":
-            strip = strip_plan(cx.shape[0], cx.shape[1], cy.shape[1], gap_series)
+        sv = _os.environ.get("PRALINE_STRIP", "auto")
+        if sv != "0":
+            strip = strip_plan(
+                cx.shape[0], cx.shape[1], cy.shape[1], gap_series,
+                force=sv == "1",
+            )
     if strip is not None:
         from .strip import strip_dispatch_core
 

@@ -611,7 +611,7 @@ def strip_plan(B: int, bx: int, by: int, gap_series, lengths: bool = True,
     if Lp > int(0.85 * max_lanes(tuple(gap_series), False, lengths)):
         return None
     R = None
-    min_slots = 1 if force else 32
+    min_slots = 2 if force else 32
     for r in (16, 8, 4) + ((2,) if force else ()):
         if B % r == 0 and B // r >= min_slots:
             R = r

@@ -81,11 +81,13 @@ def _dispatch_core(cx, inv_x, cy, inv_y, s, lx, ly, *, gap_series, mode,
     import os as _os
 
     strip = None
-    if backend == "pallas" and not traceback:
-        # Strip-packed scores route (kernels.strip): R problems per
-        # lane-row lift square-bucket lane utilization from ~50% to ~94%
-        # and halve the hs tensor.  Admitted when the bucket shape profits
-        # (strip_plan); PRALINE_STRIP=0 disables, =1 forces when admissible.
+    if backend == "pallas" and (not traceback or replay):
+        # Strip-packed route (kernels.strip): R problems per lane-row lift
+        # square-bucket lane utilization from ~50% to ~94% and halve the
+        # hs (and traceback-bit) tensors.  Traceback dispatches qualify
+        # when they replay on device (the strip bit layout never leaves the
+        # jit).  Admitted when the bucket shape profits (strip_plan);
+        # PRALINE_STRIP=0 disables, =1 forces when admissible.
         from .strip import strip_plan
 
         sv = _os.environ.get("PRALINE_STRIP", "auto")
@@ -101,12 +103,12 @@ def _dispatch_core(cx, inv_x, cy, inv_y, s, lx, ly, *, gap_series, mode,
             "PRALINE_HS_LAYOUT", "bmajor" if qd is None else "dmajor"
         )
         K, R = strip
-        out = strip_dispatch_core(
+        return strip_dispatch_core(
             cx, inv_x, cy, inv_y, s, lx, ly, K=K, R=R,
             gap_series=gap_series, mode=mode, qd=qd, mxp=mxp,
-            hs_layout=hs_layout,
+            hs_layout=hs_layout, traceback=traceback,
         )
-    elif backend == "pallas" and _fused_dp_enabled() and (
+    if backend == "pallas" and _fused_dp_enabled() and (
         -(-(cx.shape[1] + 1) // 128) * 128
         <= max_lanes_fused(gap_series, not traceback, traceback)
     ):

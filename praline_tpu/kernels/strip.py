@@ -38,47 +38,66 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_dp import NEG, _collapse
+from .pallas_dp import NEG, PTR_NONE, _collapse
 from .scan import _gap_prefix
 
 
-def _scratch_names(k: int, mode: str, lengths: bool) -> list[str]:
+def _scratch_names(k: int, mode: str, lengths: bool,
+                   traceback: bool = False) -> list[str]:
     names = ["m1", "r1v", "r2v", "ix1", "iy1", "lxv", "lyv", "tvr"]
     if mode != "global":
         names += ["tjr"]
     if lengths:
         names += ["lm1", "r1l", "r2l", "lix1", "liy1", "tlr"]
+    if traceback:
+        names += ["r1c", "r2c"]
+        if mode != "local":
+            names += ["tcr"]
+        if _collapse(k)[0]:
+            names += ["psx", "psy"]
     return names
 
 
 def _make_strip_kernel(grid_d, Bblk, Lp, K, R, k, gap_series, mode, lengths,
-                       quantized, unroll, bmajor_hs):
+                       quantized, unroll, bmajor_hs, traceback=False):
     g = [np.float32(x) for x in gap_series]
     collapsed, kc = _collapse(k)
     local = mode == "local"
     semi = mode == "semiglobal"
     border_m = np.float32(0.0 if local else NEG)
-    names = _scratch_names(k, mode, lengths)
+    names = _scratch_names(k, mode, lengths, traceback)
     log2k = K.bit_length() - 1
     assert K == 1 << log2k and K % 128 == 0 and K >= Lp
 
-    def prio(m, ixs, iys, lm=None, lixs=None, liys=None):
+    def prio(m, ixs, iys, lm=None, lixs=None, liys=None, codes=False,
+             codes_x=None, codes_y=None):
+        """Best state with M > Ix(asc) > Iy(asc) tie preference (codes as in
+        kernels.scan's traceback-bit contract)."""
+        if codes_x is None:
+            codes_x = [1 + l for l in range(len(ixs))]
+        if codes_y is None:
+            codes_y = [1 + k + l for l in range(len(iys))]
         v = m
         ln = lm
+        c = jnp.zeros((Bblk, Lp), jnp.int32) if codes else None
         for l in range(len(ixs)):
             b = ixs[l] > v
             v = jnp.where(b, ixs[l], v)
             if ln is not None:
                 ln = jnp.where(b, lixs[l], ln)
+            if codes:
+                c = jnp.where(b, codes_x[l], c)
         for l in range(len(iys)):
             b = iys[l] > v
             v = jnp.where(b, iys[l], v)
             if ln is not None:
                 ln = jnp.where(b, liys[l], ln)
-        return v, ln
+            if codes:
+                c = jnp.where(b, codes_y[l], c)
+        return v, ln, c
 
     def kernel(cum_ref, cumv_ref, lxe_ref, lye_ref, hs_ref,
-               resv_ref, resl_ref, resj_ref, *scr):
+               resv_ref, resl_ref, resj_ref, resc_ref, tb_ref, *scr):
         S = dict(zip(names, scr))
         lane = jax.lax.broadcasted_iota(jnp.int32, (Bblk, Lp), 1)
         negs = jnp.full((Bblk, Lp), NEG, jnp.float32)
@@ -107,6 +126,14 @@ def _make_strip_kernel(grid_d, Bblk, Lp, K, R, k, gap_series, mode, lengths,
                 S["r1l"][:, :] = zeros
                 S["r2l"][:, :] = zeros
                 S["tlr"][:, :] = negs
+            if traceback:
+                S["r1c"][:, :] = jnp.zeros((Bblk, Lp), jnp.int32)
+                S["r2c"][:, :] = jnp.zeros((Bblk, Lp), jnp.int32)
+                if not local:
+                    S["tcr"][:, :] = jnp.full((Bblk, Lp), -1, jnp.int32)
+                if collapsed:
+                    S["psx"][:, :] = jnp.zeros((Bblk, Lp), jnp.int32)
+                    S["psy"][:, :] = jnp.zeros((Bblk, Lp), jnp.int32)
 
         # Result-tape blocks: block r collects problem r's harvests (its
         # window [(r+1)K, (r+2)K) covers the whole harvest span
@@ -120,6 +147,8 @@ def _make_strip_kernel(grid_d, Bblk, Lp, K, R, k, gap_series, mode, lengths,
                 resj_ref[:, :] = jnp.full((Bblk, Lp), -1, jnp.int32)
             if lengths:
                 resl_ref[:, :] = negs
+            if traceback and not local:
+                resc_ref[:, :] = jnp.zeros((Bblk, Lp), jnp.int32)
 
         # Plain circular rolls: the wrap value landing in lane 0 is garbage,
         # but every consumer's lane-0 result (nm, nix/niy, nlm, nlix/nliy)
@@ -161,6 +190,11 @@ def _make_strip_kernel(grid_d, Bblk, Lp, K, R, k, gap_series, mode, lengths,
                 lm1v = S["lm1"][:, :]
                 lm1s = shift_z(lm1v)
                 b2ls = shift_z(S["r2l"][:, :])
+            if traceback:
+                b2cs = shift_z(S["r2c"][:, :])
+                if collapsed:
+                    psxs = shift_z(S["psx"][:, :])  # prev stay, cell (i-1, j)
+                    psyv = S["psy"][:, :]  # prev stay, cell (i, j-1)
 
             ix1 = [S["ix1"][l] for l in range(kc)]
             iy1 = [S["iy1"][l] for l in range(kc)]
@@ -218,8 +252,12 @@ def _make_strip_kernel(grid_d, Bblk, Lp, K, R, k, gap_series, mode, lengths,
 
             nm = hrow + b2vs
             nlm = (b2ls + 1.0) if lengths else None
+            mcode = b2cs if traceback else None
             if local:
-                nm = jnp.where(nm < 0.0, 0.0, nm)
+                clamp = nm < 0.0
+                nm = jnp.where(clamp, 0.0, nm)
+                if traceback:
+                    mcode = jnp.where(clamp, PTR_NONE, mcode)
                 if lengths:
                     nlm = jnp.where(nm <= 0.0, 0.0, nlm)
 
@@ -271,19 +309,42 @@ def _make_strip_kernel(grid_d, Bblk, Lp, K, R, k, gap_series, mode, lengths,
                             nlix[l] = jnp.where(seam, lanef, jnp.where(at0, 0.0, nlix[l]))
                             nliy[l] = jnp.where(at0, j0f, jnp.where(seam, 0.0, nliy[l]))
 
-            bv, bl = prio(nm, nix, niy,
-                          nlm if lengths else None,
-                          nlix if lengths else None,
-                          nliy if lengths else None)
+            codes_x = codes_y = None
+            if collapsed:
+                # Post-border stay bits (kernels.pallas_dp): (i, 0) IS a
+                # level-2 run (seam plays the classic atd); (0, j) carries
+                # no Ix — boolean algebra, not scalar-True selects (Mosaic
+                # cannot legalize the i8->i1 truncation those lower to).
+                if local:
+                    sx = sx & ~border
+                    sy = sy & ~border
+                else:
+                    sx = seam | (sx & ~at0)
+                    sy = at0 | (sy & ~seam)
+                if traceback:
+                    sxi = sx.astype(jnp.int32)
+                    syi = sy.astype(jnp.int32)
+                    codes_x, codes_y = [1 + sxi], [1 + k + syi]
+
+            bv, bl, bc = prio(nm, nix, niy,
+                              nlm if lengths else None,
+                              nlix if lengths else None,
+                              nliy if lengths else None,
+                              codes=traceback,
+                              codes_x=codes_x, codes_y=codes_y)
 
             # ---- terminal accumulation (per lane, current owner) ----
             tvr = S["tvr"][:, :]
             if lengths:
                 tlr = S["tlr"][:, :]
+            tcr = S["tcr"][:, :] if traceback and not local else None
+            tcn = None
             if mode == "global":
                 tmask = (jl == lyv) & (lane == lxv)
                 tn = jnp.where(tmask, bv, tvr)
                 tln = jnp.where(tmask, bl, tlr) if lengths else None
+                if tcr is not None:
+                    tcn = jnp.where(tmask, bc, tcr)
                 tjn = None
             elif semi:
                 tjr = S["tjr"][:, :]
@@ -299,6 +360,8 @@ def _make_strip_kernel(grid_d, Bblk, Lp, K, R, k, gap_series, mode, lengths,
                 tn = jnp.where(repl_o, bv, tvr)
                 tjn = jnp.where(repl_o, jl, tjr)
                 tln = jnp.where(repl_o, bl, tlr) if lengths else None
+                if tcr is not None:
+                    tcn = jnp.where(repl_o, bc, tcr)
             else:  # local: terminals are M cells, smallest i then smallest j
                 tjr = S["tjr"][:, :]
                 valid = (lane >= 1) & (lane <= lxv) & (jl >= 1) & (jl <= lyv)
@@ -319,6 +382,8 @@ def _make_strip_kernel(grid_d, Bblk, Lp, K, R, k, gap_series, mode, lengths,
                 resj_ref[:, :] = jnp.where(seam, tjn, resj_ref[:, :])
             if lengths:
                 resl_ref[:, :] = jnp.where(seam, tln, resl_ref[:, :])
+            if tcn is not None:
+                resc_ref[:, :] = jnp.where(seam, tcn, resc_ref[:, :])
 
             # seam resets (after harvest); in semiglobal the entering
             # problem's seam-lane candidate applies after the reset
@@ -330,12 +395,18 @@ def _make_strip_kernel(grid_d, Bblk, Lp, K, R, k, gap_series, mode, lengths,
                     S["tlr"][:, :] = jnp.where(
                         repl_n, bl, jnp.where(seam, NEG, tln)
                     )
+                if tcn is not None:
+                    S["tcr"][:, :] = jnp.where(
+                        repl_n, bc, jnp.where(seam, -1, tcn)
+                    )
             else:
                 S["tvr"][:, :] = jnp.where(seam, NEG, tn)
                 if tjn is not None:
                     S["tjr"][:, :] = jnp.where(seam, -1, tjn)
                 if lengths:
                     S["tlr"][:, :] = jnp.where(seam, NEG, tln)
+                if tcn is not None:
+                    S["tcr"][:, :] = jnp.where(seam, -1, tcn)
 
             # ---- write carries ----
             S["m1"][:, :] = nm
@@ -351,6 +422,24 @@ def _make_strip_kernel(grid_d, Bblk, Lp, K, R, k, gap_series, mode, lengths,
                 S["lm1"][:, :] = nlm
                 S["r2l"][:, :] = S["r1l"][:, :]
                 S["r1l"][:, :] = bl
+            if traceback:
+                S["r2c"][:, :] = S["r1c"][:, :]
+                S["r1c"][:, :] = bc
+                # Same packed-byte contract as kernels.scan/pallas_dp: int32
+                # arithmetic, narrowed at the store.
+                if collapsed:
+                    bits = mcode + psxs * 32 + psyv * 64
+                    S["psx"][:, :] = sxi
+                    S["psy"][:, :] = syi
+                else:
+                    bits = (
+                        mcode
+                        + stay_x.astype(jnp.int32) * 32
+                        + stay_y.astype(jnp.int32) * 64
+                    )
+                if local:
+                    bits = bits + (nm <= 0.0).astype(jnp.int32) * 128
+                tb_ref[u, :, :] = bits.astype(jnp.uint8)
 
         for u in range(unroll):
             _diag(u)
@@ -376,21 +465,24 @@ def strip_stride(bx: int, by: int) -> int | None:
 
 
 def _bytes_per_lane_strip(k: int, mode: str, lengths: bool, unroll: int,
-                          quantized: bool) -> int:
-    kc = _collapse(k)[1]
-    n32 = 3 + 2 * kc + 3 + 1  # m1/r1v/r2v + ix/iy + jlv/lxv/lyv + tvr
+                          quantized: bool, traceback: bool = False) -> int:
+    collapsed, kc = _collapse(k)
+    n32 = 3 + 2 * kc + 2 + 1  # m1/r1v/r2v + ix/iy + lxv/lyv + tvr
     if mode != "global":
         n32 += 1  # tjr
     if lengths:
         n32 += 3 + 2 * kc + 1
+    if traceback:
+        n32 += 2 + (1 if mode != "local" else 0) + (2 if collapsed else 0)
     hs_b = (1 if quantized else 4) * unroll * 2  # double-buffered in-blocks
-    return 4 * (n32 + 2) + hs_b
+    tb_b = (2 * unroll) if traceback else 0  # double-buffered out-blocks
+    return 4 * (n32 + 2) + hs_b + tb_b
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("K", "R", "gap_series", "mode", "lengths", "block_b",
-                     "interpret", "unroll", "hs_layout"),
+                     "interpret", "unroll", "hs_layout", "traceback"),
 )
 def wavefront_dp_strip(
     hs: jax.Array,  # f32/int8/int16 [D_pad, Bs, Lp] or [Bs, D_pad, Lp]
@@ -400,14 +492,16 @@ def wavefront_dp_strip(
     R: int,
     gap_series: tuple[int, ...] = (11, 1),
     mode: str = "global",
-    lengths: bool = True,
+    lengths: bool | None = None,
     block_b: int = 256,
     interpret: bool | None = None,
     unroll: int = 1,
     hs_layout: str = "dmajor",
+    traceback: bool = False,
 ):
     """Run the strip DP over R problems per slot row; returns per-problem
-    ``score``/``length``/``ti``/``tj`` arrays of shape (Bs, R).
+    ``score``/``length``/``ti``/``tj`` (+``tcode``) arrays of shape (Bs, R),
+    plus ``tb`` (uint8[rows, Bs, Lp], row = strip step) when ``traceback``.
 
     ``hs`` rows are strip steps (d starts at 0 — the producer layout of
     kernels.fused_scores.fused_skewed_scores_strip); rows beyond
@@ -415,6 +509,8 @@ def wavefront_dp_strip(
     Slot padding: lx/ly entries of -1 mark dead problems (their outputs are
     NEG/garbage and must be discarded by the caller).
     """
+    if lengths is None:
+        lengths = not traceback
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if hs_layout not in ("dmajor", "bmajor"):
@@ -436,7 +532,9 @@ def wavefront_dp_strip(
     grid_d = rows // unroll
     k = len(gap_series)
 
-    bytes_per_row = Lp * _bytes_per_lane_strip(k, mode, lengths, unroll, quantized)
+    bytes_per_row = Lp * _bytes_per_lane_strip(
+        k, mode, lengths, unroll, quantized, traceback
+    )
     vmem_rows = max(8, int(10e6 // max(bytes_per_row, 1)))
     block_cap = 8
     while block_cap * 2 <= vmem_rows:
@@ -474,7 +572,7 @@ def wavefront_dp_strip(
 
     kernel = _make_strip_kernel(
         grid_d, Bblk, Lp, K, R, k, tuple(gap_series), mode, lengths,
-        quantized, unroll, bmajor,
+        quantized, unroll, bmajor, traceback=traceback,
     )
 
     f32, i32 = jnp.float32, jnp.int32
@@ -504,24 +602,45 @@ def wavefront_dp_strip(
     tape_spec = lambda: pl.BlockSpec(
         (None, Bblk, Lp), tape_idx, memory_space=pltpu.VMEM
     )
+    has_tcode = traceback and mode != "local"
+    if has_tcode:
+        resc_shape = jax.ShapeDtypeStruct((R, Bs_run, Lp), i32)
+        resc_spec = tape_spec()
+    else:
+        resc_shape = jax.ShapeDtypeStruct((R, 1, 1), i32)
+        resc_spec = pl.BlockSpec(
+            (None, 1, 1), lambda b, d: (0, 0, 0), memory_space=pltpu.VMEM
+        )
+    if traceback:
+        tb_shape = jax.ShapeDtypeStruct((rows, Bs_run, Lp), jnp.uint8)
+        tb_spec = pl.BlockSpec(
+            (unroll, Bblk, Lp), lambda b, d: (d, b, 0), memory_space=pltpu.VMEM
+        )
+    else:
+        tb_shape = jax.ShapeDtypeStruct((grid_d, 1, 1), jnp.uint8)
+        tb_spec = pl.BlockSpec(
+            (1, 1, 1), lambda b, d: (d, 0, 0), memory_space=pltpu.VMEM
+        )
     out_shape = (
         jax.ShapeDtypeStruct((R, Bs_run, Lp), f32),  # value tape
         jax.ShapeDtypeStruct((R, Bs_run, Lp), f32),  # length tape
         jax.ShapeDtypeStruct((R, Bs_run, Lp), i32),  # terminal-j tape
+        resc_shape,  # terminal-code tape
+        tb_shape,
     )
-    out_specs = (tape_spec(), tape_spec(), tape_spec())
+    out_specs = (tape_spec(), tape_spec(), tape_spec(), resc_spec, tb_spec)
 
     kc = _collapse(k)[1]
     scratch = []
-    for name in _scratch_names(k, mode, lengths):
+    for name in _scratch_names(k, mode, lengths, traceback):
         if name in ("ix1", "iy1", "lix1", "liy1"):
             scratch.append(pltpu.VMEM((kc, Bblk, Lp), f32))
-        elif name in ("lxv", "lyv", "tjr"):
+        elif name in ("lxv", "lyv", "tjr", "r1c", "r2c", "psx", "psy", "tcr"):
             scratch.append(pltpu.VMEM((Bblk, Lp), i32))
         else:  # m1, r1v, r2v, lm1, r1l, r2l, tvr, tlr
             scratch.append(pltpu.VMEM((Bblk, Lp), f32))
 
-    resv, resl, resj = pl.pallas_call(
+    resv, resl, resj, resc, tb = pl.pallas_call(
         kernel,
         grid=(nb, grid_d),
         in_specs=in_specs,
@@ -547,17 +666,22 @@ def wavefront_dp_strip(
         "length": take(resl) if lengths else jnp.zeros((Bs, R), f32),
         "ti": idx.astype(i32),
         "tj": take(resj) if mode != "global" else jnp.zeros((Bs, R), i32),
+        "tcode": take(resc) if has_tcode else jnp.zeros((Bs, R), i32),
     }
+    if traceback:
+        out["tb"] = tb[:, :Bs, :]
     return out
 
 
 def strip_dispatch_core(cx, inv_x, cy, inv_y, s, lx, ly, *, K, R, gap_series,
                         mode, qd, mxp="highest", hs_layout="dmajor",
-                        interpret=None):
-    """Strip producer + strip DP, matching the scores-mode output contract
-    of kernels.batch._dispatch_core (score/length/ti/tj/tcode per problem).
-    Problems are grouped slot-major: problem ``p`` is slot ``p // R``,
-    strip position ``p % R``."""
+                        traceback=False, interpret=None):
+    """Strip producer + strip DP (+ strip-aware device replay), matching the
+    output contract of kernels.batch._dispatch_core (score/length/ti/tj/
+    tcode per problem; traceback adds moves/nmoves — the strip always
+    replays on device, the raw-bit layout never leaves the jit).  Problems
+    are grouped slot-major: problem ``p`` is slot ``p // R``, strip
+    position ``p % R``."""
     from .fused_scores import fused_skewed_scores_strip
 
     B = cx.shape[0]
@@ -572,7 +696,7 @@ def strip_dispatch_core(cx, inv_x, cy, inv_y, s, lx, ly, *, K, R, gap_series,
         hs, lx.reshape(Bs, R).astype(jnp.int32),
         ly.reshape(Bs, R).astype(jnp.int32),
         K=K, R=R, gap_series=tuple(gap_series), mode=mode,
-        hs_layout=hs_layout, interpret=interpret,
+        hs_layout=hs_layout, traceback=traceback, interpret=interpret,
     )
     score = out["score"].reshape(B)
     length = out["length"].reshape(B)
@@ -583,13 +707,26 @@ def strip_dispatch_core(cx, inv_x, cy, inv_y, s, lx, ly, *, K, R, gap_series,
     else:
         ti = out["ti"].reshape(B)
         tj = out["tj"].reshape(B)
-    return {
+    tcode = out["tcode"].reshape(B) if traceback else jnp.zeros((B,), jnp.int32)
+    res = {
         "score": score,
         "length": length,
         "ti": ti,
         "tj": tj,
-        "tcode": jnp.zeros((B,), jnp.int32),
+        "tcode": tcode,
     }
+    if traceback:
+        from .replay import replay_moves
+
+        moves, nmoves = replay_moves(
+            out["tb"], ti, tj, tcode,
+            gap_series=tuple(gap_series), mode=mode,
+            steps=cx.shape[1] + cy.shape[1],
+            strip=(K, R),
+        )
+        res["moves"] = moves
+        res["nmoves"] = nmoves
+    return res
 
 
 def strip_plan(B: int, bx: int, by: int, gap_series, lengths: bool = True,

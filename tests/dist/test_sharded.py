@@ -305,3 +305,37 @@ def test_chunked_route_sharded_under_mesh(monkeypatch):
                 else:
                     assert r.length == want.length, (mode, tb)
     assert calls, "the sharded chunked route was not taken"
+
+
+def test_strip_route_sharded_under_mesh(monkeypatch):
+    """The strip-packed scores route runs inside shard_map: the per-shard
+    batch feeds strip_plan, so each device packs its own pair shard
+    (PRALINE_STRIP=1 forces admission at test shapes)."""
+    require_devices(8)
+    from praline_tpu.kernels import strip as strip_mod
+
+    monkeypatch.setenv("PRALINE_STRIP", "1")
+    rng = np.random.default_rng(77)
+    pairs = random_pairs(rng, 61, lmax=31)  # ragged; pads to 64 over 8 devs
+    mesh = make_pair_mesh(8)
+    calls = []
+    real = strip_mod.strip_dispatch_core
+
+    def spy(*a, **k):
+        calls.append(k.get("K"))
+        return real(*a, **k)
+
+    monkeypatch.setattr(strip_mod, "strip_dispatch_core", spy)
+    got = align_pairs_batched(
+        pairs, B62, (11, 1), "global", bucket_sizes=(31,), batch_pairs=64,
+        mesh=mesh, backend="pallas",
+    )
+    unsharded = align_pairs_batched(
+        pairs, B62, (11, 1), "global", bucket_sizes=(31,), batch_pairs=64,
+        backend="pallas",
+    )
+    assert calls, "the strip route was not taken under the mesh"
+    for (px, py), r, u in zip(pairs, got, unsharded):
+        want = align_profiles(px, py, B62, (11, 1), "global")
+        assert r.score == want.score == u.score
+        assert r.length == want.length == u.length

@@ -199,6 +199,35 @@ def test_strip_routes_through_batch_api(mode, monkeypatch):
         assert got[i].length == want.length, i
 
 
+@pytest.mark.parametrize("mode", MODES)
+@pytest.mark.parametrize("gap_series", [(11, 1), (5, 3, 1)])
+def test_strip_traceback_paths_match_oracle(mode, gap_series, monkeypatch):
+    # Traceback dispatches take the strip too (device replay on the strip
+    # bit layout); full paths must equal the oracle's exactly.
+    from praline_tpu.kernels import align_pairs_batched
+    from praline_tpu.oracle import align_profiles
+    from praline_tpu.types import Profile
+
+    monkeypatch.setenv("PRALINE_STRIP", "1")
+    rng = np.random.default_rng(zlib.crc32(repr((mode, gap_series, "tb")).encode()))
+    profs = []
+    for L in rng.integers(3, 32, size=24):
+        c = rng.integers(0, 3, size=(int(L), A)).astype(np.float32)
+        zero = c.sum(axis=1) == 0
+        c[zero, 0] = 1.0
+        profs.append(Profile(c, np.zeros(int(L), np.float32), ALPHABET_AA))
+    pairs = [(profs[(3 * i) % 24], profs[(5 * i + 1) % 24]) for i in range(16)]
+    got = align_pairs_batched(
+        pairs, B62, gap_series, mode, traceback=True,
+        bucket_sizes=(31,), batch_pairs=16, backend="pallas",
+    )
+    for (px, py), r in zip(pairs, got):
+        want = align_profiles(px, py, B62, gap_series, mode)
+        assert r.score == want.score, (mode, gap_series)
+        np.testing.assert_array_equal(r.cols_x, want.cols_x)
+        np.testing.assert_array_equal(r.cols_y, want.cols_y)
+
+
 def test_strip_plan_admission():
     # square big buckets profit; tiny or non-dividing batches do not
     assert strip_plan(1024, 1023, 1023, (11, 1)) == (1024, 16)

@@ -156,4 +156,42 @@ for mode in MODES:
             assert (r.cols_x == want.cols_x).all(), (mode, gs)
             assert (r.cols_y == want.cols_y).all(), (mode, gs)
 print("on-chip: batch API + device replay oracle parity OK (all modes)")
+
+# ---- strip route (kernels.strip) vs scan, compiled: scores + traceback ----
+import os as _os
+
+from praline_tpu.kernels.strip import strip_dispatch_core, strip_stride
+
+for mode in MODES:
+    for gs in SERIES:
+        B9, Lx9, Ly9 = 8, 61, 88
+        K9 = strip_stride(Lx9, Ly9)
+        cx, ivx, cy, ivy, _, _ = _example_batch(rng, B=B9, Lx=Lx9, Ly=Ly9)
+        lx = rng.integers(30, Lx9 + 1, size=B9).astype(np.int32)
+        ly = rng.integers(40, Ly9 + 1, size=B9).astype(np.int32)
+        args = tuple(map(jnp.asarray, (cx, ivx, cy, ivy, s)))
+        hs = skewed_pair_scores(*args)
+        want = wavefront_dp(hs, jnp.asarray(lx), jnp.asarray(ly),
+                            gap_series=gs, mode=mode)
+        got = strip_dispatch_core(
+            *args, jnp.asarray(lx), jnp.asarray(ly), K=K9, R=4,
+            gap_series=gs, mode=mode, qd=None, interpret=False,
+        )
+        for key in ("score", "length"):
+            np.testing.assert_array_equal(
+                np.asarray(want[key]), np.asarray(got[key]),
+                err_msg=f"strip/{mode}/{gs}:{key}")
+_os.environ["PRALINE_STRIP"] = "1"
+try:
+    for mode in MODES:
+        got = align_pairs_batched(pairs, m, (11, 1), mode, traceback=True,
+                                  backend="pallas", bucket_sizes=(127,))
+        for (px, py), r in zip(pairs, got):
+            want = align_profiles(px, py, m, (11, 1), mode)
+            assert r.score == want.score, ("strip-tb", mode)
+            assert (r.cols_x == want.cols_x).all(), ("strip-tb", mode)
+            assert (r.cols_y == want.cols_y).all(), ("strip-tb", mode)
+finally:
+    _os.environ.pop("PRALINE_STRIP", None)
+print("on-chip: strip route parity OK (scores + traceback, all modes)")
 print("ONCHIP_PARITY_OK")

@@ -44,8 +44,10 @@ L = arg("l", 1023)
 R = arg("r", 16)
 MODE = arg("mode", "global", str)
 ONEHOT = "--onehot" in sys.argv
+TB = "--tb" in sys.argv
 K = strip_stride(L, L)
-print(f"B={B} L={L} R={R} K={K} mode={MODE} onehot={ONEHOT}", flush=True)
+print(f"B={B} L={L} R={R} K={K} mode={MODE} onehot={ONEHOT} tb={TB}",
+      flush=True)
 
 rng = np.random.default_rng(0)
 s = np.asarray(builtin_score_matrix("blosum62").as_f32())
@@ -83,8 +85,16 @@ def make_classic(producer_only=False):
             )
         out = wavefront_dp_pallas(
             hs, lx, ly, gap_series=(11, 1), mode=MODE,
-            traceback=False, hs_body=True, hs_layout=F32_LAYOUT,
+            traceback=TB, hs_body=True, hs_layout=F32_LAYOUT,
         )
+        if TB:
+            from praline_tpu.kernels.replay import replay_moves
+
+            moves, nmoves = replay_moves(
+                out["tb"], out["ti"], out["tj"], out["tcode"],
+                gap_series=(11, 1), mode=MODE, steps=2 * L,
+            )
+            return moves, nmoves
         return out["score"], out["length"]
 
     return run
@@ -105,7 +115,10 @@ def make_strip(producer_only=False):
         out = strip_dispatch_core(
             cx, ivx, cy, ivy, s, lx, ly, K=K, R=R,
             gap_series=(11, 1), mode=MODE, qd=QD, hs_layout=F32_LAYOUT,
+            traceback=TB,
         )
+        if TB:
+            return out["moves"], out["nmoves"]
         return out["score"], out["length"]
 
     return run

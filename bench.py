@@ -261,16 +261,27 @@ def bench_utilization() -> dict:
     dt_a = timed_median(run_alu, jnp.ones((AR, AC), jnp.float32))
     alu_ops_per_s = AR * AC * NACC * ACH * 3 * ASTEPS / dt_a
 
-    # DP accounting: scores mode (the headline).  Lane-slot inflation
-    # D*Lp / (Lx*Ly) ~ 2.002 at the headline's square L=1023 shape.
+    # DP accounting: scores mode (the headline).  Since round 4 the
+    # production route is the STRIP (kernels.strip): R problems share one
+    # lane-row, so the old ~2.002x wavefront lane-slot inflation collapses
+    # to (R*K + Lp) * Lp / (R * Lx * Ly) ~ 1.07 at the headline's square
+    # L=1023, R=16 shape (the strip carries a few extra rows/ops per step
+    # for seam borders + harvest; close enough to the scan body count for
+    # this roofline estimate).
     ops_per_step_lane = _count_step_lane_ops()
     from praline_tpu.kernels.pallas_dp import _bytes_per_lane
+    from praline_tpu.kernels.strip import strip_plan
 
     # State rows re-read AND re-written each step, plus the hs row read.
     state_rows = (_bytes_per_lane((11, 1), False, True) // 4) - 4
     bytes_per_step_lane = (2 * state_rows + 1) * 4
     L = 1023
-    inflation = (2 * L + 1 - 2) * (L + 1) / (L * L)
+    plan = strip_plan(1024, L, L, (11, 1))
+    if plan is not None:
+        K, Rr = plan
+        inflation = (Rr * K + L + 1) * (L + 1) / (Rr * L * L)
+    else:
+        inflation = (2 * L + 1 - 2) * (L + 1) / (L * L)
     ops_per_cell = ops_per_step_lane * inflation
     bytes_per_cell = bytes_per_step_lane * inflation
 

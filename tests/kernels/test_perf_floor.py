@@ -36,36 +36,38 @@ def _run_bench(config: str, timeout: int = 1200) -> dict:
 # Floors sit ~2x off measured steady state (VERDICT r2 item 9: the old
 # 10x-slack floors could not catch a real regression), with the slack
 # covering relay-latency variance, not code regressions.  Measured on the
-# v5e, round 2: cells 3.7e9, msa 0.40 s, preprofile 0.89 s, allpairs 0.14 s.
+# v5e, round 4 (strip route): cells 10.2e9, msa 0.42 s, preprofile 0.80 s,
+# allpairs 0.084 s.
 
 
 @requires_perf
 def test_cells_per_second_floor():
-    # Driver target is 1e9 cells/s/chip [B:5]; round-2 measured 3.7e9.
+    # Driver target is 1e9 cells/s/chip [B:5]; round-4 measured 10.2e9
+    # (strip-packed wavefront route).
     result = _run_bench("cells")
-    assert result["value"] >= 2.5e9, result
+    assert result["value"] >= 5.0e9, result
 
 
 @requires_perf
 def test_msa_wallclock_floor():
     """End-to-end floor (VERDICT r1 item 9): the progressive-MSA product
     path, where host-side regressions live — not just the headline kernel.
-    Round-2 measured 0.40 s steady-state on the v5e (was 18 s in round 1)."""
+    Round-4 measured 0.42 s steady-state on the v5e (was 18 s in round 1)."""
     result = _run_bench("msa")
-    assert result["value"] <= 2.0, result
+    assert result["value"] <= 1.0, result
 
 
 @requires_perf
 def test_preprofile_wallclock_floor():
     """Config-4 floor: global master-slave preprofiles end to end.
-    Round-2 measured 0.89 s steady-state on the v5e (was 55 s in round 1)."""
+    Round-4 measured 0.80 s steady-state on the v5e (was 55 s in round 1)."""
     result = _run_bench("preprofile")
-    assert result["value"] <= 3.0, result
+    assert result["value"] <= 2.0, result
 
 
 @requires_perf
 def test_allpairs100_wallclock_floor():
     """Config-2 floor: the 4950-pair distance stage in one indexed
-    dispatch; round-2 measured 0.135 s steady-state on the v5e."""
+    dispatch; round-4 measured 0.084 s steady-state on the v5e."""
     result = _run_bench("allpairs100")
-    assert result["value"] <= 0.5, result
+    assert result["value"] <= 0.25, result

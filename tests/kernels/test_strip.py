@@ -228,6 +228,33 @@ def test_strip_traceback_paths_match_oracle(mode, gap_series, monkeypatch):
         np.testing.assert_array_equal(r.cols_y, want.cols_y)
 
 
+def test_strip_batch_pad_path(monkeypatch):
+    # 100 pairs pad to the 128 grid: pad repeats fill strip slots and their
+    # outputs must be discarded cleanly.
+    from praline_tpu.kernels import align_pairs_batched
+    from praline_tpu.oracle import align_profiles
+    from praline_tpu.types import Profile
+
+    monkeypatch.setenv("PRALINE_STRIP", "1")
+    rng = np.random.default_rng(31)
+    profs = [
+        Profile.from_tokens(
+            rng.integers(0, 20, size=int(L)).astype(np.int32), ALPHABET_AA
+        )
+        for L in rng.integers(2, 31, size=30)
+    ]
+    pairs = [(profs[(7 * i) % 30], profs[(11 * i + 2) % 30]) for i in range(100)]
+    got = align_pairs_batched(
+        pairs, B62, (11, 1), "global", bucket_sizes=(31,), batch_pairs=128,
+        backend="pallas",
+    )
+    for i in range(0, 100, 13):
+        px, py = pairs[i]
+        want = align_profiles(px, py, B62, (11, 1), "global")
+        assert got[i].score == want.score, i
+        assert got[i].length == want.length, i
+
+
 def test_strip_plan_admission():
     # square big buckets profit; tiny or non-dividing batches do not
     assert strip_plan(1024, 1023, 1023, (11, 1)) == (1024, 16)

@@ -41,7 +41,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 HIGHEST = jax.lax.Precision.HIGHEST
 TILE = 128
-PB = 32  # problems per grid step (sublane-aligned output blocks)
+# Problems per grid step (sublane-aligned output blocks).  Round 4: 16
+# beats the round-2 choice of 32 on the v5e for BOTH the classic and the
+# strip producer (+4-6% — finer grid pipelining; tools/onchip_producer_probe
+# and /tmp sweep logged in STATUS), with identical values (the barrel roll
+# itself measures ~free: `norolls` is not faster).
+PB = 16
 
 
 def _ceil_to(x: int, m: int) -> int:

@@ -1069,12 +1069,17 @@ def align_pairs_batched(
                 1, min(max_in_flight, _scaled_budget(TB_BYTES_BUDGET) // max(tb_bytes * eff_batch, 1))
             )
         group_backend = backend
-        if oversized and mesh is not None and _mesh_spans_processes(mesh):
+        if (
+            oversized and traceback
+            and mesh is not None and _mesh_spans_processes(mesh)
+        ):
             # Chunked carries stay device-resident between chunk steps but
             # traceback bits pull to the host per chunk — under a
             # MULTI-PROCESS mesh that pull is not addressable, so the XLA
             # scan kernel (no lane ceiling) runs inside shard_map instead.
-            # Single-process meshes take the sharded chunked route below.
+            # Scores-mode chunked dispatches have no per-chunk pulls and
+            # run the sharded Pallas chunk steps cross-process (r4; the
+            # carries round-trip as global jax.Arrays).
             group_backend = "xla"
             oversized = False
 
@@ -1232,17 +1237,34 @@ def align_pairs_batched(
                 lx = np.array([p.length for p in pxs], dtype=np.int32)
                 ly = np.array([p.length for p in pys], dtype=np.int32)
                 if mesh is not None:
-                    # Sharded chunked route (single-process mesh): same
-                    # band-chunked fused-producer body, pair axis sharded
-                    # (dist.allpairs.sharded_chunked_dispatch).
+                    # Sharded chunked route: same band-chunked
+                    # fused-producer body, pair axis sharded
+                    # (dist.allpairs.sharded_chunked_dispatch).  Under a
+                    # multi-process mesh (scores mode only — see the
+                    # group_backend gate above) operands assemble into
+                    # global arrays host-locally.
                     from ..dist.allpairs import sharded_chunked_dispatch
 
+                    operands = (cx, inv_x, cy, inv_y,
+                                np.asarray(matrix.as_f32()), lx, ly)
+                    if _mesh_spans_processes(mesh):
+                        from jax.sharding import PartitionSpec as P
+
+                        pp = P("pairs")
+                        operands = tuple(
+                            _globalize(mesh, a, spec)
+                            for a, spec in zip(
+                                operands,
+                                (P("pairs", None, None), P("pairs", None),
+                                 P("pairs", None, None), P("pairs", None),
+                                 P(), pp, pp),
+                            )
+                        )
                     with annotate(
                         f"dispatch:chunked-sharded:{bx}x{by}x{len(chunk)}"
                     ):
                         out = sharded_chunked_dispatch(
-                            mesh, cx, inv_x, cy, inv_y,
-                            np.asarray(matrix.as_f32()), lx, ly,
+                            mesh, *operands,
                             gap_series=tuple(gap_series), mode=mode,
                             traceback=traceback,
                         )

@@ -122,10 +122,36 @@ tres = align_tracksets_batched(
 tscores = np.array([r.score for r in tres], np.float32)
 tcols = np.concatenate([np.asarray(r.cols_x, np.int32) for r in tres])
 
+# Chunked (oversized-Ly) SCORES route cross-process (r4, STATUS gap #4):
+# the sharded Pallas chunk steps run on the multi-process mesh with the
+# band carries round-tripping as global jax.Arrays (traceback keeps the
+# documented XLA fallback — per-chunk bit pulls are not addressable).
+from praline_tpu.kernels import align_pairs_batched
+
+crng = np.random.default_rng(5)
+
+
+def _mkp(L):
+    return Profile.from_tokens(
+        crng.integers(0, 20, size=L).astype(np.int32), ALPHABET_AA
+    )
+
+
+cpairs = [
+    (_mkp(int(crng.integers(8, 15))), _mkp(int(crng.integers(30, 45))))
+    for _ in range(5)
+]
+cres = align_pairs_batched(
+    cpairs, B62m, (11, 1), "global", bucket_sizes=(15,), mesh=mesh,
+    backend="pallas",
+)
+cscores = np.array([r.score for r in cres], np.float32)
+clengths = np.array([r.length for r in cres], np.float32)
+
 if pid == 0:
     np.savez(
         out_path, scores=scores, lengths=lengths,
         iscores=iscores, ilengths=ilengths, toks=toks, ix=ix, iy=iy,
-        tscores=tscores, tcols=tcols,
+        tscores=tscores, tcols=tcols, cscores=cscores, clengths=clengths,
     )
 print(f"[{pid}] OK", flush=True)

@@ -101,3 +101,23 @@ def test_two_process_sharded_allpairs(tmp_path):
     np.testing.assert_array_equal(
         data["tcols"], np.concatenate([w.cols_x for w in twant])
     )
+
+    # Chunked (oversized-Ly) scores route cross-process vs the oracle.
+    from praline_tpu.oracle import align_profiles
+
+    crng = np.random.default_rng(5)
+
+    def _mkp(L):
+        return Profile.from_tokens(
+            crng.integers(0, 20, size=L).astype(np.int32), ALPHABET_AA
+        )
+
+    cpairs = [
+        (_mkp(int(crng.integers(8, 15))), _mkp(int(crng.integers(30, 45))))
+        for _ in range(5)
+    ]
+    cwant = [
+        align_profiles(px, py, B62m, (11, 1), "global") for px, py in cpairs
+    ]
+    np.testing.assert_array_equal(data["cscores"], [w.score for w in cwant])
+    np.testing.assert_array_equal(data["clengths"], [w.length for w in cwant])

@@ -525,8 +525,11 @@ def wavefront_dp_strip(
         raise ValueError("strip stride K must be a pow2 multiple of 128 >= Lp")
     if R < 1:
         raise ValueError("R must be >= 1")
-    if bmajor and unroll < 8:
-        unroll = 8  # sublane granularity (see pallas_dp)
+    if bmajor:
+        # sublane granularity: the b-major layout puts steps on sublanes,
+        # so the DP must consume a full sublane tile of diagonals per grid
+        # block (8 for f32, 32 for int8 hs).
+        unroll = max(unroll, 32 if quantized else 8)
     if rows % unroll:
         raise ValueError("hs rows must be a multiple of the unroll")
     grid_d = rows // unroll

@@ -68,7 +68,7 @@ for _ in range(2):
     sets.append(tuple(jnp.asarray(a) for a in (cx, ivx, cy, ivy, jnp.asarray(s), lx, ly)))
 
 QD = jnp.int8 if ONEHOT else None
-F32_LAYOUT = "bmajor" if QD is None else "dmajor"
+F32_LAYOUT = arg("layout", "bmajor" if QD is None else "dmajor", str)
 
 
 def make_classic(producer_only=False):

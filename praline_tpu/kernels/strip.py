@@ -452,11 +452,11 @@ def strip_steps(Lp: int, K: int, R: int) -> int:
     return R * K + Lp
 
 
-def strip_stride(bx: int, by: int) -> int | None:
+def strip_stride(bx: int, by: int) -> int:
     """Slot stride K for a (bucket_x, bucket_y) group: the smallest
     power-of-two multiple of 128 covering both Lx+1 and Ly+1 (producer tile
-    alignment needs 128 | K; one-seam-per-step and the cheap scalar clock
-    need K >= Lp and a power of two).  None when that K is degenerate."""
+    alignment needs 128 | K; one-seam-per-step and the cheap in-kernel
+    column clock need K >= Lp and a power of two)."""
     need = max(bx + 1, by + 1, 128)
     K = 128
     while K < need:
@@ -605,15 +605,28 @@ def wavefront_dp_strip(
     tape_spec = lambda: pl.BlockSpec(
         (None, Bblk, Lp), tape_idx, memory_space=pltpu.VMEM
     )
+    dummy_spec = lambda: pl.BlockSpec(
+        (None, 1, 1), lambda b, d: (0, 0, 0), memory_space=pltpu.VMEM
+    )
     has_tcode = traceback and mode != "local"
     if has_tcode:
         resc_shape = jax.ShapeDtypeStruct((R, Bs_run, Lp), i32)
         resc_spec = tape_spec()
     else:
         resc_shape = jax.ShapeDtypeStruct((R, 1, 1), i32)
-        resc_spec = pl.BlockSpec(
-            (None, 1, 1), lambda b, d: (0, 0, 0), memory_space=pltpu.VMEM
-        )
+        resc_spec = dummy_spec()
+    if lengths:
+        resl_shape = jax.ShapeDtypeStruct((R, Bs_run, Lp), f32)
+        resl_spec = tape_spec()
+    else:
+        resl_shape = jax.ShapeDtypeStruct((R, 1, 1), f32)
+        resl_spec = dummy_spec()
+    if mode != "global":
+        resj_shape = jax.ShapeDtypeStruct((R, Bs_run, Lp), i32)
+        resj_spec = tape_spec()
+    else:  # global terminals are (lx, ly); the j tape is never written
+        resj_shape = jax.ShapeDtypeStruct((R, 1, 1), i32)
+        resj_spec = dummy_spec()
     if traceback:
         tb_shape = jax.ShapeDtypeStruct((rows, Bs_run, Lp), jnp.uint8)
         tb_spec = pl.BlockSpec(
@@ -626,12 +639,12 @@ def wavefront_dp_strip(
         )
     out_shape = (
         jax.ShapeDtypeStruct((R, Bs_run, Lp), f32),  # value tape
-        jax.ShapeDtypeStruct((R, Bs_run, Lp), f32),  # length tape
-        jax.ShapeDtypeStruct((R, Bs_run, Lp), i32),  # terminal-j tape
+        resl_shape,  # length tape (dummy when lengths are off)
+        resj_shape,  # terminal-j tape (dummy in global mode)
         resc_shape,  # terminal-code tape
         tb_shape,
     )
-    out_specs = (tape_spec(), tape_spec(), tape_spec(), resc_spec, tb_spec)
+    out_specs = (tape_spec(), resl_spec, resj_spec, resc_spec, tb_spec)
 
     kc = _collapse(k)[1]
     scratch = []
@@ -744,8 +757,6 @@ def strip_plan(B: int, bx: int, by: int, gap_series, lengths: bool = True,
 
     Lp = bx + 1
     K = strip_stride(bx, by)
-    if K is None:
-        return None
     # VMEM admission: the strip carries a few more rows than the classic
     # kernel; stay under the classic ceiling with margin.
     if Lp > int(0.85 * max_lanes(tuple(gap_series), False, lengths)):

@@ -27,8 +27,9 @@ BASELINE_CELLS_PER_S = 1.0e6
 def bench(B: int = 4096, L: int = 1023, iters: int = 6, backend: str = "auto") -> dict:
     """Headline: the PRODUCTION batched driver end to end — indexed
     profile stacks, super-dispatch grouping (scan-of-4 sub-batches per jit,
-    kernels.batch), fused Pallas producer + collapsed wavefront DP, and the
-    host-side unpack — on a ragged profile-profile distance workload."""
+    kernels.batch), strip-packed fused producer + wavefront DP
+    (kernels.strip; R=16 problems per lane-row), and the host-side unpack —
+    on a ragged profile-profile distance workload."""
     import numpy as np
     import jax
 

@@ -181,6 +181,16 @@ for mode in MODES:
             np.testing.assert_array_equal(
                 np.asarray(want[key]), np.asarray(got[key]),
                 err_msg=f"strip/{mode}/{gs}:{key}")
+# fast MXU precision through the STRIP producer: bit-equal to highest at
+# admissible counts (same contract as the classic producer's check above).
+from praline_tpu.kernels.fused_scores import fused_skewed_scores_strip
+
+Ks = strip_stride(Lx4, Ly4)
+hs_hi_s = fused_skewed_scores_strip(*args4, K=Ks, R=4, mxu_precision="highest")
+hs_fast_s = fused_skewed_scores_strip(*args4, K=Ks, R=4, mxu_precision="fast")
+np.testing.assert_array_equal(np.asarray(hs_hi_s), np.asarray(hs_fast_s))
+print("on-chip: strip fast MXU precision bit-equal at the count bounds")
+
 _os.environ["PRALINE_STRIP"] = "1"
 try:
     for mode in MODES:

@@ -313,9 +313,11 @@ def msa_align(
 
         # Multi-process SPMD: every host reads the shared checkpoint dir,
         # only process 0 writes (identical artifacts either way).
+        # extra_slaves (BLAST/homology hits) shape the cached preprofiles:
+        # their content is part of the run identity (stale-resume guard).
         ckpt = Checkpoint(
             config.checkpoint_dir,
-            run_digest(sequences, config),
+            run_digest(sequences, config, extra_slaves=extra_slaves),
             writer=jax.process_index() == 0,
         )
     METRICS.reset()

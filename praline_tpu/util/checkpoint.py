@@ -19,12 +19,31 @@ import numpy as np
 from ..types import PralineConfig, Profile, Sequence, SequenceTree, TRACK_ID_PREPROFILE
 
 
-def run_digest(sequences: list[Sequence], config: PralineConfig) -> str:
-    """Digest of inputs + semantics-affecting config, guarding stale resume."""
+def run_digest(
+    sequences: list[Sequence],
+    config: PralineConfig,
+    extra_slaves: dict[int, list[Sequence]] | None = None,
+) -> str:
+    """Digest of inputs + semantics-affecting config, guarding stale resume.
+
+    ``extra_slaves`` (homology hits, SURVEY.md §8.5) shape the preprofiles
+    that ``preprofiles.npz`` caches, so their CONTENT is part of the run
+    identity: re-running against a different BLAST database (or the same
+    database after it drifted) must invalidate the checkpoint rather than
+    silently reuse stale preprofiles.  Hashing the resolved hits — not the
+    database path — makes the guard content-based: a renamed-but-identical
+    DB resumes, an in-place-mutated one does not.
+    """
     h = hashlib.sha256()
     for s in sequences:
         h.update(s.name.encode())
         h.update(s.tokens.tobytes())
+    if extra_slaves:
+        for i in sorted(extra_slaves):
+            h.update(b"extra:%d" % i)
+            for hit in extra_slaves[i]:
+                h.update(hit.name.encode())
+                h.update(hit.tokens.tobytes())
     cfg = dataclasses.asdict(config)
     # Exclude knobs that don't change alignment semantics: batching/device
     # choices and output formatting.

@@ -42,6 +42,46 @@ def test_fake_finder_mapping():
     assert len(mapping[2]) == 2
 
 
+def test_homology_hits_guard_checkpoint_resume(tmp_path):
+    """Stale-resume guard: the checkpoint digest covers homology hits
+    (SURVEY.md §6 checkpoint row, §8.5).  Re-running against DIFFERENT hits
+    (a different BLAST DB, or the same DB after it drifted) must not reuse
+    the cached preprofiles — the run is refused with the standard
+    different-run error rather than silently resuming finder A's state."""
+    import pytest
+
+    ss = seqs()
+    cfg = PralineConfig(preprofile_mode="global", checkpoint_dir=str(tmp_path))
+    mapping_a = find_homologs(ss, FakeBlastFinder(hits()))
+    out_a = msa_align(ss, B62, cfg, extra_slaves=mapping_a)
+    assert (tmp_path / "preprofiles.npz").exists()
+
+    # Same hits resume fine (content-based identity, not object identity).
+    mapping_a2 = find_homologs(seqs(), FakeBlastFinder(hits()))
+    out_a2 = msa_align(seqs(), B62, cfg, extra_slaves=mapping_a2)
+    assert format_alignment_fasta(out_a2) == format_alignment_fasta(out_a)
+
+    # Finder B: one hit's residues drifted -> digest differs -> refused.
+    drifted = hits()
+    drifted["a"] = [Sequence.from_str("hit_a1", "MKVLAWGYPAQD", ALPHABET_AA)]
+    mapping_b = find_homologs(seqs(), FakeBlastFinder(drifted))
+    with pytest.raises(ValueError, match="different run"):
+        msa_align(seqs(), B62, cfg, extra_slaves=mapping_b)
+
+    # No hits at all is also a different run.
+    with pytest.raises(ValueError, match="different run"):
+        msa_align(seqs(), B62, cfg)
+
+    # A fresh dir REBUILDS: finder B's preprofiles differ from finder A's.
+    cfg_b = PralineConfig(
+        preprofile_mode="global", checkpoint_dir=str(tmp_path / "b")
+    )
+    msa_align(seqs(), B62, cfg_b, extra_slaves=mapping_b)
+    a = np.load(tmp_path / "preprofiles.npz")
+    b = np.load(tmp_path / "b" / "preprofiles.npz")
+    assert not np.array_equal(a["counts_0"], b["counts_0"])
+
+
 def test_homology_extension_changes_preprofiles_and_matches_oracle():
     ss = seqs()
     mapping = find_homologs(ss, FakeBlastFinder(hits()))

@@ -321,15 +321,19 @@ def sharded_ckpt_dispatch(mesh, cx, inv_x, cy, inv_y, s, lx, ly, *,
 
 @functools.lru_cache(maxsize=256)
 def _build_chunk_step(mesh_key, gap_series, mode, traceback, b0, nb, first,
-                      total_d):
+                      total_d, gather_tb=False):
     """One band chunk of the CHUNKED (oversized-Ly) route inside shard_map:
     the fused producer materializes only this chunk's score bands and the
     Pallas kernel resumes from the carried state, with the pair axis
     sharded — previously the chunked route fell back to the XLA scan under
     a mesh (STATUS r3 gap #4).  Carries stay sharded on device between
-    chunk steps; terminals all-gather; traceback bits stay sharded (the
-    host pulls them per chunk — single-process meshes only, the batch
-    driver keeps the XLA fallback for multi-process meshes)."""
+    chunk steps; terminals all-gather.  Traceback bits stay sharded on a
+    single-process mesh (the host pulls its own shards per chunk); under a
+    MULTI-PROCESS mesh ``gather_tb`` all-gathers each chunk's bits over the
+    pair axis — the checkpointed-ring pattern of per-block bit all_gathers
+    (dist.ring) applied per chunk — so every host can pull them and the
+    Pallas body keeps running cross-process (round 5; previously the
+    traceback half fell back to the XLA scan)."""
     mesh = _MESHES[mesh_key]
     from ..kernels.fused_scores import TILE, fused_skewed_scores
     from ..kernels.pallas_dp import wavefront_dp_pallas
@@ -343,7 +347,7 @@ def _build_chunk_step(mesh_key, gap_series, mode, traceback, b0, nb, first,
     out_specs = {k: P() for k in ("score", "length", "ti", "tj", "tcode")}
     out_specs["carry"] = carry_specs
     if traceback:
-        out_specs["tb"] = P(None, PAIR_AXIS, None)
+        out_specs["tb"] = P() if gather_tb else P(None, PAIR_AXIS, None)
 
     def run(cx, inv_x, cy, inv_y, s, lx, ly, *carry):
         hs = fused_skewed_scores(
@@ -361,7 +365,11 @@ def _build_chunk_step(mesh_key, gap_series, mode, traceback, b0, nb, first,
         }
         res["carry"] = out["carry"]
         if traceback:
-            res["tb"] = out["tb"]
+            res["tb"] = (
+                jax.lax.all_gather(out["tb"], PAIR_AXIS, axis=1, tiled=True)
+                if gather_tb
+                else out["tb"]
+            )
         return res
 
     fn = shard_map(run, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
@@ -370,11 +378,14 @@ def _build_chunk_step(mesh_key, gap_series, mode, traceback, b0, nb, first,
 
 
 def sharded_chunked_dispatch(mesh, cx, inv_x, cy, inv_y, s, lx, ly, *,
-                             gap_series, mode, traceback, chunk_bands=16):
+                             gap_series, mode, traceback, chunk_bands=16,
+                             gather_tb=False):
     """Chunked-diagonal batched DP (kernels.chunked semantics) with the pair
     axis sharded over ``mesh``; the batch must be a multiple of the mesh's
     pair-axis size (kernels.batch pads).  Returns the kernels.chunked result
-    shape: terminals + ``tb_chunks`` (host numpy, per chunk)."""
+    shape: terminals + ``tb_chunks`` (host numpy, per chunk).  Set
+    ``gather_tb`` on multi-process meshes so the per-chunk bit pulls are
+    addressable on every host."""
     import numpy as np
 
     from ..kernels.fused_scores import TILE
@@ -392,7 +403,8 @@ def sharded_chunked_dispatch(mesh, cx, inv_x, cy, inv_y, s, lx, ly, *,
     for b0 in range(0, total_bands, chunk_bands):
         nb = min(chunk_bands, total_bands - b0)
         fn = _build_chunk_step(key, tuple(gap_series), mode, bool(traceback),
-                               b0, nb, b0 == 0, total_d)
+                               b0, nb, b0 == 0, total_d,
+                               gather_tb=bool(gather_tb))
         args = (cx, inv_x, cy, inv_y, s, lx, ly)
         if carry is not None:
             args = args + tuple(carry)

@@ -1069,19 +1069,6 @@ def align_pairs_batched(
                 1, min(max_in_flight, _scaled_budget(TB_BYTES_BUDGET) // max(tb_bytes * eff_batch, 1))
             )
         group_backend = backend
-        if (
-            oversized and traceback
-            and mesh is not None and _mesh_spans_processes(mesh)
-        ):
-            # Chunked carries stay device-resident between chunk steps but
-            # traceback bits pull to the host per chunk — under a
-            # MULTI-PROCESS mesh that pull is not addressable, so the XLA
-            # scan kernel (no lane ceiling) runs inside shard_map instead.
-            # Scores-mode chunked dispatches have no per-chunk pulls and
-            # run the sharded Pallas chunk steps cross-process (r4; the
-            # carries round-trip as global jax.Arrays).
-            group_backend = "xla"
-            oversized = False
 
         if stream:
             # Long-tail path: the streamed scan (no hs tensor; any Lx/Ly).
@@ -1240,14 +1227,17 @@ def align_pairs_batched(
                     # Sharded chunked route: same band-chunked
                     # fused-producer body, pair axis sharded
                     # (dist.allpairs.sharded_chunked_dispatch).  Under a
-                    # multi-process mesh (scores mode only — see the
-                    # group_backend gate above) operands assemble into
-                    # global arrays host-locally.
+                    # multi-process mesh operands assemble into global
+                    # arrays host-locally, and traceback bits all-gather
+                    # per chunk so every host can pull them (round 5 — the
+                    # last route that previously left the Pallas body
+                    # cross-process).
                     from ..dist.allpairs import sharded_chunked_dispatch
 
+                    spans = _mesh_spans_processes(mesh)
                     operands = (cx, inv_x, cy, inv_y,
                                 np.asarray(matrix.as_f32()), lx, ly)
-                    if _mesh_spans_processes(mesh):
+                    if spans:
                         from jax.sharding import PartitionSpec as P
 
                         pp = P("pairs")
@@ -1267,6 +1257,7 @@ def align_pairs_batched(
                             mesh, *operands,
                             gap_series=tuple(gap_series), mode=mode,
                             traceback=traceback,
+                            gather_tb=bool(traceback and spans),
                         )
                 else:
                     out = wavefront_dp_chunked(

@@ -122,10 +122,11 @@ tres = align_tracksets_batched(
 tscores = np.array([r.score for r in tres], np.float32)
 tcols = np.concatenate([np.asarray(r.cols_x, np.int32) for r in tres])
 
-# Chunked (oversized-Ly) SCORES route cross-process (r4, STATUS gap #4):
-# the sharded Pallas chunk steps run on the multi-process mesh with the
-# band carries round-tripping as global jax.Arrays (traceback keeps the
-# documented XLA fallback — per-chunk bit pulls are not addressable).
+# Chunked (oversized-Ly) route cross-process (r4 scores, r5 traceback —
+# STATUS gap #4 closed): the sharded Pallas chunk steps run on the
+# multi-process mesh with the band carries round-tripping as global
+# jax.Arrays; traceback bits all-gather per chunk so every host can pull
+# them (no more XLA fallback).
 from praline_tpu.kernels import align_pairs_batched
 
 crng = np.random.default_rng(5)
@@ -148,10 +149,23 @@ cres = align_pairs_batched(
 cscores = np.array([r.score for r in cres], np.float32)
 clengths = np.array([r.length for r in cres], np.float32)
 
+# Traceback-mode chunked dispatch on the Pallas body, cross-process: full
+# path equality is asserted by the parent against the single-process run.
+ctres = align_pairs_batched(
+    cpairs, B62m, (11, 1), "semiglobal", traceback=True,
+    bucket_sizes=(15,), mesh=mesh, backend="pallas",
+)
+ctscores = np.array([r.score for r in ctres], np.float32)
+ctcols = np.concatenate(
+    [np.asarray(r.cols_x, np.int32) for r in ctres]
+    + [np.asarray(r.cols_y, np.int32) for r in ctres]
+)
+
 if pid == 0:
     np.savez(
         out_path, scores=scores, lengths=lengths,
         iscores=iscores, ilengths=ilengths, toks=toks, ix=ix, iy=iy,
         tscores=tscores, tcols=tcols, cscores=cscores, clengths=clengths,
+        ctscores=ctscores, ctcols=ctcols,
     )
 print(f"[{pid}] OK", flush=True)

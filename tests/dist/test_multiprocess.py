@@ -121,3 +121,18 @@ def test_two_process_sharded_allpairs(tmp_path):
     ]
     np.testing.assert_array_equal(data["cscores"], [w.score for w in cwant])
     np.testing.assert_array_equal(data["clengths"], [w.length for w in cwant])
+
+    # Chunked TRACEBACK dispatch on the Pallas body cross-process (round 5:
+    # per-chunk bit all_gather replaces the XLA fallback) — full path
+    # equality vs the oracle.
+    ctwant = [
+        align_profiles(px, py, B62m, (11, 1), "semiglobal")
+        for px, py in cpairs
+    ]
+    np.testing.assert_array_equal(data["ctscores"], [w.score for w in ctwant])
+    np.testing.assert_array_equal(
+        data["ctcols"],
+        np.concatenate(
+            [w.cols_x for w in ctwant] + [w.cols_y for w in ctwant]
+        ),
+    )

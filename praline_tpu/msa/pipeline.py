@@ -97,9 +97,10 @@ def batched_preprofiles(
     pairs = [(_hot(sequences[i]), _hot(slave)) for i, slave in jobs]
     log.info("preprofiles: %d master-slave alignments (%s mode)", len(pairs), mode)
     kwargs = _batch_kwargs(config, mesh)
-    if mode == "global":
-        # Device replay keeps traceback off the host for global stars.
-        kwargs["batch_pairs"] = _wide_batch_pairs(config)
+    # Device replay keeps traceback off the host for preprofile stars in
+    # BOTH modes (local replays on device since the bit-7 stop-at-zero
+    # contract), so every star stage takes the wide dispatch.
+    kwargs["batch_pairs"] = _wide_batch_pairs(config)
     results: list[AlignResult] = align_pairs_batched(
         pairs, matrix, gap_series, mode, traceback=True, **kwargs
     )

@@ -51,24 +51,34 @@ from ..oracle.merge import inject_gaps, reorder_to_input
 from ..oracle.profile import COUNT_LIMIT, member_profile, rescale_counts
 
 # Column-capacity ladder (2^n - 1 like the batch driver's buckets: diagonal
-# vectors of length C_cap + 1 fill TPU lanes exactly).
-C_BUCKETS = (127, 255, 511, 1023, 2047, 4095, 8191)
+# vectors of length C_cap + 1 fill TPU lanes exactly).  Rungs above 8191
+# (round 5, SURVEY §9 P3) run the CHECKPOINTED walk so giant-MSA merges
+# keep the node-table path with O(C^1.5) traceback memory.
+C_BUCKETS = (127, 255, 511, 1023, 2047, 4095, 8191, 16383, 32767)
 MAX_ATTEMPTS = 3
-# Joins per level-step dispatch (one executable per C_cap); the top rung
+# Joins per level-step dispatch (one executable per C_cap); the 8191 rung
 # runs the STREAMED producer (no materialized hs tensor) with a narrower
-# chunk so its full-bit traceback stays inside HBM.
+# chunk so its full-bit traceback stays inside HBM; rungs above it go
+# checkpointed at J=1 (per-join bit memory is O(sqrt(D) * C), but the node
+# table itself is O(nodes * C * A)).
 LEVEL_CHUNK_J = 32
 
 
 def _level_chunk(C_cap: int) -> int:
-    return 32 if C_cap <= 4095 else 4
+    if C_cap <= 4095:
+        return 32
+    return 4 if C_cap <= 8191 else 1
 
 
-def _use_streamed(C_cap: int) -> bool:
-    """Above 4095 columns the materialized skewed hs tensor would cost
-    O(2*C * J * C * 4) bytes (17 GB at 8191 with J=32); the streamed
-    producer keeps peak memory at O(J * C * A)."""
-    return C_cap > 4095
+def _rung_kind(C_cap: int) -> str:
+    """"hs": materialized skewed tensor (fast, O(2C * J * C * 4) bytes —
+    17 GB at 8191/J=32); "streamed": produce rows inside the scan, full
+    traceback bits (O(2C * J * C) bytes); "ckpt": streamed forward +
+    checkpointed backward walk, O(sqrt(C) * C * J) bit memory — the only
+    form that fits giant columns."""
+    if C_cap <= 4095:
+        return "hs"
+    return "streamed" if C_cap <= 8191 else "ckpt"
 
 
 # Sequential joins per chain-step dispatch (caterpillar segments).
@@ -90,10 +100,15 @@ def _make_join_body(C_cap: int, A: int, gap_series: tuple[int, ...],
     import jax.numpy as jnp
 
     from ..kernels.replay import replay_moves
-    from ..kernels.scan import wavefront_dp, wavefront_dp_streamed
+    from ..kernels.scan import (
+        wavefront_dp,
+        wavefront_dp_checkpointed,
+        wavefront_dp_streamed,
+    )
     from ..kernels.scores import skewed_pair_scores
 
     steps = 2 * C_cap
+    kind = _rung_kind(C_cap)
 
     def body(counts_tab, gaps_tab, len_tab, mem_tab, li, ri, oi, s, inv_table):
         cl = jnp.take(counts_tab, li, axis=0)  # (J, C, A)
@@ -113,20 +128,33 @@ def _make_join_body(C_cap: int, A: int, gap_series: tuple[int, ...],
         invl = inv_table[jnp.clip(totl, 0, inv_size - 1)]
         invr = inv_table[jnp.clip(totr, 0, inv_size - 1)]
 
-        if _use_streamed(C_cap):
-            out = wavefront_dp_streamed(
+        if kind == "ckpt":
+            # Giant rungs: checkpointed forward/backward walk — move tapes
+            # come back directly (O(sqrt(D)*C) bit memory); the compacted
+            # tape's nonzero prefix is <= 2*C_cap, so slicing to ``steps``
+            # drops only trailing zeros.
+            out = wavefront_dp_checkpointed(
                 cl, invl, cr, invr, s, Cl, Cr,
-                gap_series=gap_series, mode=mode, traceback=True,
+                gap_series=gap_series, mode=mode,
             )
+            moves = out["moves"][:, :steps]
+            nmv = out["nmoves"]
         else:
-            hs = skewed_pair_scores(cl, invl, cr, invr, s)
-            out = wavefront_dp(
-                hs, Cl, Cr, gap_series=gap_series, mode=mode, traceback=True
+            if kind == "streamed":
+                out = wavefront_dp_streamed(
+                    cl, invl, cr, invr, s, Cl, Cr,
+                    gap_series=gap_series, mode=mode, traceback=True,
+                )
+            else:
+                hs = skewed_pair_scores(cl, invl, cr, invr, s)
+                out = wavefront_dp(
+                    hs, Cl, Cr, gap_series=gap_series, mode=mode,
+                    traceback=True,
+                )
+            moves, nmv = replay_moves(
+                out["tb"], out["ti"], out["tj"], out["tcode"],
+                gap_series=gap_series, mode=mode, steps=steps,
             )
-        moves, nmv = replay_moves(
-            out["tb"], out["ti"], out["tj"], out["tcode"],
-            gap_series=gap_series, mode=mode, steps=steps,
-        )
         m = moves.astype(jnp.int32)  # (J, steps), terminal -> origin
         if mode == "semiglobal":
             # Full-coverage tape: prepend (in terminal->origin emission

@@ -62,16 +62,18 @@ def test_divergent_local_merges_match_oracle():
     assert pt.format_alignment_fasta(merged) == pt.format_alignment_fasta(want)
 
 
+@pytest.mark.parametrize("kind", ["streamed", "ckpt"])
 @pytest.mark.parametrize("mode", ["global", "semiglobal", "local"])
-def test_streamed_rung_matches_materialized(monkeypatch, mode):
-    """The >4095-column rung swaps in the streamed producer; forcing it at
-    a small capacity must not change a single byte."""
+def test_upper_rungs_match_materialized(monkeypatch, mode, kind):
+    """The >4095-column rung swaps in the streamed producer and the >8191
+    rungs the checkpointed walk; forcing either at a small capacity must
+    not change a single byte."""
     seqs = _family(seed=5)
     cfg = PralineConfig(merge_mode=mode, backend="xla")
     pp, tree = _tree(seqs, cfg)
     want = dm.try_device_merge(pp, tree, B62, cfg)
     assert want is not None
-    monkeypatch.setattr(dm, "_use_streamed", lambda C_cap: True)
+    monkeypatch.setattr(dm, "_rung_kind", lambda C_cap: kind)
     dm._level_step_jit.cache_clear()
     dm._chain_step_jit.cache_clear()
     got = dm.try_device_merge(pp, tree, B62, cfg)
@@ -80,3 +82,47 @@ def test_streamed_rung_matches_materialized(monkeypatch, mode):
     dm._chain_step_jit.cache_clear()
     assert got is not None
     assert pt.format_alignment_fasta(got) == pt.format_alignment_fasta(want)
+
+
+def test_giant_columns_take_the_ckpt_rung():
+    """Merged widths past 8191 columns keep the node-table walk (round 5,
+    SURVEY §9 P3): the 16383 rung runs the checkpointed walk, byte-equal
+    to the per-level fallback path (msa.pipeline.batched_progressive_merge
+    on the same tree).  One join of ~8.5k-residue members — minutes-scale
+    scans at this width keep the case to a single pair."""
+    from praline_tpu.msa.pipeline import batched_progressive_merge
+    from praline_tpu.types import SequenceTree
+
+    rng = np.random.default_rng(7)
+    seqs = [
+        Sequence(
+            f"g{i}", rng.integers(0, 20, size=8500).astype(np.int32),
+            pt.ALPHABET_AA,
+        )
+        for i in range(2)
+    ]
+    cfg = PralineConfig(backend="xla")
+    pp = batched_preprofiles(seqs, B62, cfg)
+    tree = SequenceTree(2, ((0, 1),))
+    rungs = []
+    real = dm._rung_kind
+
+    def spy(C_cap):
+        rungs.append(C_cap)
+        return real(C_cap)
+
+    dm._rung_kind = spy
+    try:
+        merged = dm.try_device_merge(pp, tree, B62, cfg)
+    finally:
+        dm._rung_kind = real
+    assert merged is not None, "giant columns must keep the device walk"
+    assert 16383 in rungs and real(16383) == "ckpt"
+    assert merged.num_columns > 8191
+    # Reference: the per-level fallback path on the same tree.  backend
+    # "oracle" makes batched_progressive_merge skip the device walk (no
+    # circularity) while still driving the batched kernels.
+    want = batched_progressive_merge(
+        pp, tree, B62, PralineConfig(backend="oracle")
+    )
+    assert pt.format_alignment_fasta(merged) == pt.format_alignment_fasta(want)

@@ -22,10 +22,13 @@ retires that lane's previous owner, with §8.3/§8.4 tie-breaks preserved:
 per-lane accumulation resolves the j tie direction, harvest order (lanes in
 increasing i) resolves the i direction.
 
-Scores mode only (the all-pairs distance stage — the headline workload);
-traceback dispatches keep the classic kernel.  Bit-identical to
-kernels.scan.wavefront_dp per problem: same recurrence, same f32 ops per
-cell, same producer values (kernels.fused_scores.fused_skewed_scores_strip).
+Covers scores mode (the all-pairs distance stage — the headline workload)
+AND traceback dispatches that replay on device: the packed direction bytes
+come out in strip layout and kernels.replay.replay_moves walks it directly
+(``strip=(K, R)``); only host-replayed shapes keep the classic kernel.
+Bit-identical to kernels.scan.wavefront_dp per problem: same recurrence,
+same f32 ops per cell, same producer values
+(kernels.fused_scores.fused_skewed_scores_strip).
 """
 
 from __future__ import annotations
@@ -43,31 +46,57 @@ from .scan import _gap_prefix
 
 
 def _scratch_names(k: int, mode: str, lengths: bool,
-                   traceback: bool = False) -> list[str]:
-    names = ["m1", "r1v", "r2v", "ix1", "iy1", "lxv", "lyv", "tvr"]
+                   traceback: bool = False, unroll: int = 1,
+                   opt: bool = True, K: int = 128) -> list[str]:
+    # Even unrolls double-buffer the two-step value carries by static step
+    # parity ("rv" = (2, Bblk, Lp)) instead of shuffling r2 <- r1 every step.
+    pair = unroll % 2 == 0 and opt
+    names = ["m1"] + (["rv"] if pair else ["r1v", "r2v"]) + ["ix1", "iy1"]
+    if mode != "global" or not opt:
+        # Optimized global streams terminal masks as per-step tables (the
+        # terminal step/lane is known host-side); semi/local (and the
+        # unoptimized A/B form) carry the owner lengths instead.
+        names += ["lxv", "lyv"]
+    names += ["tvr"]
     if mode != "global":
         names += ["tjr"]
     if lengths:
-        names += ["lm1", "r1l", "r2l", "lix1", "liy1", "tlr"]
+        names += ["lm1"] + (["rl"] if pair else ["r1l", "r2l"])
+        names += ["lix1", "liy1", "tlr"]
     if traceback:
-        names += ["r1c", "r2c"]
+        names += ["rc"] if pair else ["r1c", "r2c"]
         if mode != "local":
             names += ["tcr"]
         if _collapse(k)[0]:
             names += ["psx", "psy"]
+    if K & (K - 1):
+        names += ["jlr"]  # carried column clock for non-pow2 strides
     return names
 
 
 def _make_strip_kernel(grid_d, Bblk, Lp, K, R, k, gap_series, mode, lengths,
-                       quantized, unroll, bmajor_hs, traceback=False):
+                       quantized, unroll, bmajor_hs, traceback=False,
+                       opt=True):
     g = [np.float32(x) for x in gap_series]
     collapsed, kc = _collapse(k)
     local = mode == "local"
     semi = mode == "semiglobal"
+    glob = mode == "global"
+    pair = unroll % 2 == 0 and opt
+    # gtab: global-mode terminal masks stream as even/odd per-step lane
+    # tables (lxe_ref/lye_ref carry them), the owner-length carries and the
+    # seam resets disappear, and the XLA reduction gathers at the known
+    # terminal lane.  Measured on the v5e vs the opt=False form (round 5).
+    gtab = glob and opt
     border_m = np.float32(0.0 if local else NEG)
-    names = _scratch_names(k, mode, lengths, traceback)
-    log2k = K.bit_length() - 1
-    assert K == 1 << log2k and K % 128 == 0 and K >= Lp
+    # Non-pow2 strides (any multiple of 128 >= Lp) carry the per-lane
+    # column clock as scratch state (+1 / wrap-at-K) instead of the pow2
+    # sub+and — one extra op and row, but K stops rounding up to a power
+    # of two (a 1151 bucket runs K=1152 instead of 2048: ~1.8x fewer
+    # lane-steps).  Pow2 K keeps the cheaper stateless clock.
+    pow2K = K & (K - 1) == 0
+    names = _scratch_names(k, mode, lengths, traceback, unroll, opt, K)
+    assert K % 128 == 0 and K >= Lp and (unroll <= 1 or K % unroll == 0)
 
     def prio(m, ixs, iys, lm=None, lixs=None, liys=None, codes=False,
              codes_x=None, codes_y=None):
@@ -107,11 +136,16 @@ def _make_strip_kernel(grid_d, Bblk, Lp, K, R, k, gap_series, mode, lengths,
         def _init():
             # Everything flows through the seam logic, including problem 0's
             # borders: step d=0 seams lane 0 (the (0,0) corner).
-            S["lxv"][:, :] = jnp.full((Bblk, Lp), -1, jnp.int32)
-            S["lyv"][:, :] = jnp.full((Bblk, Lp), -1, jnp.int32)
+            if not gtab:
+                S["lxv"][:, :] = jnp.full((Bblk, Lp), -1, jnp.int32)
+                S["lyv"][:, :] = jnp.full((Bblk, Lp), -1, jnp.int32)
             S["m1"][:, :] = negs
-            S["r1v"][:, :] = negs
-            S["r2v"][:, :] = negs
+            if pair:
+                S["rv"][0] = negs
+                S["rv"][1] = negs
+            else:
+                S["r1v"][:, :] = negs
+                S["r2v"][:, :] = negs
             for l in range(kc):
                 S["ix1"][l] = negs
                 S["iy1"][l] = negs
@@ -123,23 +157,40 @@ def _make_strip_kernel(grid_d, Bblk, Lp, K, R, k, gap_series, mode, lengths,
                 S["tjr"][:, :] = jnp.full((Bblk, Lp), -1, jnp.int32)
             if lengths:
                 S["lm1"][:, :] = zeros
-                S["r1l"][:, :] = zeros
-                S["r2l"][:, :] = zeros
+                if pair:
+                    S["rl"][0] = zeros
+                    S["rl"][1] = zeros
+                else:
+                    S["r1l"][:, :] = zeros
+                    S["r2l"][:, :] = zeros
                 S["tlr"][:, :] = negs
             if traceback:
-                S["r1c"][:, :] = jnp.zeros((Bblk, Lp), jnp.int32)
-                S["r2c"][:, :] = jnp.zeros((Bblk, Lp), jnp.int32)
+                izeros = jnp.zeros((Bblk, Lp), jnp.int32)
+                if pair:
+                    S["rc"][0] = izeros
+                    S["rc"][1] = izeros
+                else:
+                    S["r1c"][:, :] = izeros
+                    S["r2c"][:, :] = izeros
                 if not local:
                     S["tcr"][:, :] = jnp.full((Bblk, Lp), -1, jnp.int32)
                 if collapsed:
-                    S["psx"][:, :] = jnp.zeros((Bblk, Lp), jnp.int32)
-                    S["psy"][:, :] = jnp.zeros((Bblk, Lp), jnp.int32)
+                    S["psx"][:, :] = izeros
+                    S["psy"][:, :] = izeros
+
+        if not pow2K:
+
+            @pl.when(pl.program_id(1) == 0)
+            def _init_clock():
+                S["jlr"][:, :] = K - 1 - lane
 
         # Result-tape blocks: block r collects problem r's harvests (its
         # window [(r+1)K, (r+2)K) covers the whole harvest span
         # [(r+1)K, (r+1)K + Lp) since Lp <= K); initialize at first visit.
         @pl.when(
-            jax.lax.bitwise_and(pl.program_id(1) * unroll, K - 1) == 0
+            (jax.lax.bitwise_and(pl.program_id(1) * unroll, K - 1) == 0)
+            if pow2K
+            else (jax.lax.rem(pl.program_id(1) * unroll, K) == 0)
         )
         def _init_tape():
             resv_ref[:, :] = negs
@@ -161,37 +212,53 @@ def _make_strip_kernel(grid_d, Bblk, Lp, K, R, k, gap_series, mode, lengths,
 
         def _diag(u):
             d = pl.program_id(1) * unroll + u
-            j0 = jax.lax.bitwise_and(d, K - 1)  # lane-0 column = d mod K
             hraw = hs_ref[:, u, :] if bmajor_hs else hs_ref[u, :, :]
             hrow = hraw.astype(jnp.float32) if quantized else hraw
 
-            # Per-lane column index: jl = (d - lane) mod K (K pow2, so one
-            # sub + and); jl == 0 IS the seam.  Ramp-in lanes (d < lane)
-            # wrap to large positive jl and can never seam (|d - lane| < K)
-            # or match a terminal (lyv starts at -1).
-            jl = jax.lax.bitwise_and(d - lane, K - 1)
-            seam = jl == 0
+            # Per-lane column index: jl = (d - lane) mod K; jl == 0 IS the
+            # seam.  Ramp-in lanes (d < lane) wrap to large positive jl and
+            # can never seam (|d - lane| < K) or match a terminal (lyv
+            # starts at -1).  Pow2 K: one sub + and; other K: carried
+            # clock row (+1, wrap at K).
+            if pow2K:
+                j0 = jax.lax.bitwise_and(d, K - 1)  # lane-0 column
+                jl = jax.lax.bitwise_and(d - lane, K - 1)
+                seam = jl == 0
+            else:
+                j0 = jax.lax.rem(d, K)
+                jlc = S["jlr"][:, :] + 1
+                seam = jlc == K
+                jl = jnp.where(seam, 0, jlc)
+                S["jlr"][:, :] = jl
 
-            # Owner lengths: the seam lane adopts the entering problem's
-            # lx/ly, streamed as per-step columns (a masked reduce over the
-            # slot row measured slower on the v5e — the tables are tiny
-            # next to hs).
-            lxe = lxe_ref[0, :, u : u + 1]
-            lye = lye_ref[0, :, u : u + 1]
-            lxv = jnp.where(seam, lxe, S["lxv"][:, :])
-            lyv = jnp.where(seam, lye, S["lyv"][:, :])
-            S["lxv"][:, :] = lxv
-            S["lyv"][:, :] = lyv
+            if gtab:
+                # Terminal-mask tables: lxe_ref/lye_ref stream the per-step
+                # terminal LANE for even/odd problems (-1 = none; a problem's
+                # terminal step r*K + lx + ly never collides with the one two
+                # problems over).  No owner-length carries needed.
+                tm0 = lxe_ref[0, :, u : u + 1]
+                tm1 = lye_ref[0, :, u : u + 1]
+            else:
+                # Owner lengths: the seam lane adopts the entering problem's
+                # lx/ly, streamed as per-step columns (a masked reduce over
+                # the slot row measured slower on the v5e — the tables are
+                # tiny next to hs).
+                lxe = lxe_ref[0, :, u : u + 1]
+                lye = lye_ref[0, :, u : u + 1]
+                lxv = jnp.where(seam, lxe, S["lxv"][:, :])
+                lyv = jnp.where(seam, lye, S["lyv"][:, :])
+                S["lxv"][:, :] = lxv
+                S["lyv"][:, :] = lyv
 
             m1v = S["m1"][:, :]
             m1s = shift_v(m1v)
-            b2vs = shift_v(S["r2v"][:, :])
+            b2vs = shift_v(S["rv"][u & 1] if pair else S["r2v"][:, :])
             if lengths:
                 lm1v = S["lm1"][:, :]
                 lm1s = shift_z(lm1v)
-                b2ls = shift_z(S["r2l"][:, :])
+                b2ls = shift_z(S["rl"][u & 1] if pair else S["r2l"][:, :])
             if traceback:
-                b2cs = shift_z(S["r2c"][:, :])
+                b2cs = shift_z(S["rc"][u & 1] if pair else S["r2c"][:, :])
                 if collapsed:
                     psxs = shift_z(S["psx"][:, :])  # prev stay, cell (i-1, j)
                     psyv = S["psy"][:, :]  # prev stay, cell (i, j-1)
@@ -263,13 +330,22 @@ def _make_strip_kernel(grid_d, Bblk, Lp, K, R, k, gap_series, mode, lengths,
 
             # ---- seam / row borders (the classic atd/at0 generalized) ----
             at0 = lane == 0
-            border = seam | at0
-            nm = jnp.where(border, border_m, nm)
-            if not local:
-                # corner (0, 0) of the entering problem: M = 0
-                nm = jnp.where(seam & at0, 0.0, nm)
-            if lengths:
-                nlm = jnp.where(border, 0.0, nlm)
+            if local or not opt:
+                border = seam | at0
+                nm = jnp.where(border, border_m, nm)
+                if not local:
+                    # corner (0, 0) of the entering problem: M = 0
+                    nm = jnp.where(seam & at0, 0.0, nm)
+                if lengths:
+                    nlm = jnp.where(border, 0.0, nlm)
+            else:
+                # The (0, 0) corner folds into the lane-0 border as a SCALAR
+                # select: seam & at0 <=> j0 == 0 (one vector op cheaper than
+                # the or + corner-where form).
+                xbs = jnp.where(j0 == 0, 0.0, NEG)
+                nm = jnp.where(at0, xbs, jnp.where(seam, NEG, nm))
+                if lengths:
+                    nlm = jnp.where(at0, 0.0, jnp.where(seam, 0.0, nlm))
             j0f = j0.astype(jnp.float32)
             lanef = lane.astype(jnp.float32)
             if local:
@@ -340,7 +416,10 @@ def _make_strip_kernel(grid_d, Bblk, Lp, K, R, k, gap_series, mode, lengths,
             tcr = S["tcr"][:, :] if traceback and not local else None
             tcn = None
             if mode == "global":
-                tmask = (jl == lyv) & (lane == lxv)
+                if gtab:
+                    tmask = (lane == tm0) | (lane == tm1)
+                else:
+                    tmask = (jl == lyv) & (lane == lxv)
                 tn = jnp.where(tmask, bv, tvr)
                 tln = jnp.where(tmask, bl, tlr) if lengths else None
                 if tcr is not None:
@@ -399,6 +478,17 @@ def _make_strip_kernel(grid_d, Bblk, Lp, K, R, k, gap_series, mode, lengths,
                     S["tcr"][:, :] = jnp.where(
                         repl_n, bc, jnp.where(seam, -1, tcn)
                     )
+            elif gtab:
+                # No seam reset: a lane receives exactly one terminal
+                # between harvests (live problems have ly >= 1, so the
+                # next owner's terminal lands strictly after this lane's
+                # harvest), and the XLA reduction gathers at the known
+                # terminal lane, so stale lanes are never read.
+                S["tvr"][:, :] = tn
+                if lengths:
+                    S["tlr"][:, :] = tln
+                if tcn is not None:
+                    S["tcr"][:, :] = tcn
             else:
                 S["tvr"][:, :] = jnp.where(seam, NEG, tn)
                 if tjn is not None:
@@ -416,15 +506,24 @@ def _make_strip_kernel(grid_d, Bblk, Lp, K, R, k, gap_series, mode, lengths,
                 if lengths:
                     S["lix1"][l] = nlix[l]
                     S["liy1"][l] = nliy[l]
-            S["r2v"][:, :] = S["r1v"][:, :]
-            S["r1v"][:, :] = bv
+            if pair:
+                S["rv"][u & 1] = bv
+            else:
+                S["r2v"][:, :] = S["r1v"][:, :]
+                S["r1v"][:, :] = bv
             if lengths:
                 S["lm1"][:, :] = nlm
-                S["r2l"][:, :] = S["r1l"][:, :]
-                S["r1l"][:, :] = bl
+                if pair:
+                    S["rl"][u & 1] = bl
+                else:
+                    S["r2l"][:, :] = S["r1l"][:, :]
+                    S["r1l"][:, :] = bl
             if traceback:
-                S["r2c"][:, :] = S["r1c"][:, :]
-                S["r1c"][:, :] = bc
+                if pair:
+                    S["rc"][u & 1] = bc
+                else:
+                    S["r2c"][:, :] = S["r1c"][:, :]
+                    S["r1c"][:, :] = bc
                 # Same packed-byte contract as kernels.scan/pallas_dp: int32
                 # arithmetic, narrowed at the store.
                 if collapsed:
@@ -454,20 +553,21 @@ def strip_steps(Lp: int, K: int, R: int) -> int:
 
 def strip_stride(bx: int, by: int) -> int:
     """Slot stride K for a (bucket_x, bucket_y) group: the smallest
-    power-of-two multiple of 128 covering both Lx+1 and Ly+1 (producer tile
-    alignment needs 128 | K; one-seam-per-step and the cheap in-kernel
-    column clock need K >= Lp and a power of two)."""
+    multiple of 128 covering both Lx+1 and Ly+1 (producer tile alignment
+    needs 128 | K; one-seam-per-step needs K >= Lp).  Pow2 K keeps the
+    stateless in-kernel column clock; other K carry the clock as scratch
+    (round 5) — so K no longer rounds up to a power of two (a 1151 bucket
+    runs K=1152, not 2048)."""
     need = max(bx + 1, by + 1, 128)
-    K = 128
-    while K < need:
-        K *= 2
-    return K
+    return -(-need // 128) * 128
 
 
 def _bytes_per_lane_strip(k: int, mode: str, lengths: bool, unroll: int,
                           quantized: bool, traceback: bool = False) -> int:
     collapsed, kc = _collapse(k)
-    n32 = 3 + 2 * kc + 2 + 1  # m1/r1v/r2v + ix/iy + lxv/lyv + tvr
+    # m1 + value pair + ix/iy + owner/clock rows + tvr (the opt variants
+    # trade lxv/lyv for jlr-or-nothing; budget the larger layout).
+    n32 = 3 + 2 * kc + 2 + 1
     if mode != "global":
         n32 += 1  # tjr
     if lengths:
@@ -482,7 +582,7 @@ def _bytes_per_lane_strip(k: int, mode: str, lengths: bool, unroll: int,
 @functools.partial(
     jax.jit,
     static_argnames=("K", "R", "gap_series", "mode", "lengths", "block_b",
-                     "interpret", "unroll", "hs_layout", "traceback"),
+                     "interpret", "unroll", "hs_layout", "traceback", "opt"),
 )
 def wavefront_dp_strip(
     hs: jax.Array,  # f32/int8/int16 [D_pad, Bs, Lp] or [Bs, D_pad, Lp]
@@ -498,6 +598,7 @@ def wavefront_dp_strip(
     unroll: int = 1,
     hs_layout: str = "dmajor",
     traceback: bool = False,
+    opt: bool = True,
 ):
     """Run the strip DP over R problems per slot row; returns per-problem
     ``score``/``length``/``ti``/``tj`` (+``tcode``) arrays of shape (Bs, R),
@@ -521,8 +622,8 @@ def wavefront_dp_strip(
         Bs, rows, Lp = hs.shape
     else:
         rows, Bs, Lp = hs.shape
-    if K & (K - 1) or K % 128 or K < Lp:
-        raise ValueError("strip stride K must be a pow2 multiple of 128 >= Lp")
+    if K % 128 or K < Lp:
+        raise ValueError("strip stride K must be a multiple of 128 >= Lp")
     if R < 1:
         raise ValueError("R must be >= 1")
     if bmajor:
@@ -552,22 +653,45 @@ def wavefront_dp_strip(
     Bs_run = Bs + pad
     nb = Bs_run // Bblk
 
-    # Per-step entering-owner tables: lxE[b, d] = lx[b, d >> log2K] (-1 past
-    # the last problem) — streamed as (Bblk, unroll) blocks so the kernel
-    # needs no per-step reduce to fetch the seam lane's owner lengths.
-    ridx = jnp.minimum(jnp.arange(rows, dtype=jnp.int32) // K, R)
-    lx_pad = jnp.concatenate(
-        [lx.astype(jnp.int32), jnp.full((Bs_run, 1), -1, jnp.int32)], axis=1
-    )
-    ly_pad = jnp.concatenate(
-        [ly.astype(jnp.int32), jnp.full((Bs_run, 1), -1, jnp.int32)], axis=1
-    )
-    # (grid_d, Bs, unroll) so the block's trailing dims satisfy Mosaic's
-    # (8, 128)-or-full tiling rule via the full-dim escape.
-    lxE = jnp.take(lx_pad, ridx, axis=1).reshape(
-        Bs_run, grid_d, unroll).transpose(1, 0, 2)
-    lyE = jnp.take(ly_pad, ridx, axis=1).reshape(
-        Bs_run, grid_d, unroll).transpose(1, 0, 2)
+    gtab = mode == "global" and opt
+    if gtab:
+        # Terminal-lane tables: tbl[b, d] = lx[b, r] when d is problem r's
+        # terminal step r*K + lx + ly, else -1.  Even/odd problems split
+        # into two tables — d_r < (r+2)K <= d_{r+2}, so entries two apart
+        # never collide; adjacent ones can.  Dead problems (lx/ly = -1)
+        # scatter out of range and are dropped.
+        lxi, lyi = lx.astype(jnp.int32), ly.astype(jnp.int32)
+        ri = jnp.arange(R, dtype=jnp.int32)[None, :]
+        d_r = ri * K + lxi + lyi
+        d_r = jnp.where((lxi >= 0) & (lyi >= 0), d_r, rows)
+        bi = jnp.arange(Bs_run, dtype=jnp.int32)[:, None]
+
+        def _table(sel):
+            t = jnp.full((Bs_run, rows), -1, jnp.int32)
+            return t.at[bi, d_r[:, sel]].set(lxi[:, sel], mode="drop")
+
+        # (grid_d, Bs, unroll) so the block's trailing dims satisfy Mosaic's
+        # (8, 128)-or-full tiling rule via the full-dim escape.
+        lxE = _table(slice(0, None, 2)).reshape(
+            Bs_run, grid_d, unroll).transpose(1, 0, 2)
+        lyE = _table(slice(1, None, 2)).reshape(
+            Bs_run, grid_d, unroll).transpose(1, 0, 2)
+    else:
+        # Per-step entering-owner tables: lxE[b, d] = lx[b, d >> log2K] (-1
+        # past the last problem) — streamed as (Bblk, unroll) blocks so the
+        # kernel needs no per-step reduce to fetch the seam lane's owner
+        # lengths.
+        ridx = jnp.minimum(jnp.arange(rows, dtype=jnp.int32) // K, R)
+        lx_pad = jnp.concatenate(
+            [lx.astype(jnp.int32), jnp.full((Bs_run, 1), -1, jnp.int32)], axis=1
+        )
+        ly_pad = jnp.concatenate(
+            [ly.astype(jnp.int32), jnp.full((Bs_run, 1), -1, jnp.int32)], axis=1
+        )
+        lxE = jnp.take(lx_pad, ridx, axis=1).reshape(
+            Bs_run, grid_d, unroll).transpose(1, 0, 2)
+        lyE = jnp.take(ly_pad, ridx, axis=1).reshape(
+            Bs_run, grid_d, unroll).transpose(1, 0, 2)
 
     cum_np = _gap_prefix(gap_series, max(K, Lp))
     cum = jnp.asarray(cum_np[:K], jnp.float32)[None, :]  # (1, K) SMEM
@@ -575,7 +699,7 @@ def wavefront_dp_strip(
 
     kernel = _make_strip_kernel(
         grid_d, Bblk, Lp, K, R, k, tuple(gap_series), mode, lengths,
-        quantized, unroll, bmajor, traceback=traceback,
+        quantized, unroll, bmajor, traceback=traceback, opt=opt,
     )
 
     f32, i32 = jnp.float32, jnp.int32
@@ -597,10 +721,16 @@ def wavefront_dp_strip(
         table_spec(),  # lyE
         hs_spec,
     ]
-    log2k = K.bit_length() - 1
+    if K & (K - 1) == 0:
+        log2k = K.bit_length() - 1
 
-    def tape_idx(b, d):
-        return (jnp.clip((d * unroll >> log2k) - 1, 0, R - 1), b, 0)
+        def tape_idx(b, d):
+            return (jnp.clip((d * unroll >> log2k) - 1, 0, R - 1), b, 0)
+
+    else:
+
+        def tape_idx(b, d):
+            return (jnp.clip((d * unroll) // K - 1, 0, R - 1), b, 0)
 
     tape_spec = lambda: pl.BlockSpec(
         (None, Bblk, Lp), tape_idx, memory_space=pltpu.VMEM
@@ -648,10 +778,15 @@ def wavefront_dp_strip(
 
     kc = _collapse(k)[1]
     scratch = []
-    for name in _scratch_names(k, mode, lengths, traceback):
+    for name in _scratch_names(k, mode, lengths, traceback, unroll, opt, K):
         if name in ("ix1", "iy1", "lix1", "liy1"):
             scratch.append(pltpu.VMEM((kc, Bblk, Lp), f32))
-        elif name in ("lxv", "lyv", "tjr", "r1c", "r2c", "psx", "psy", "tcr"):
+        elif name in ("rv", "rl"):  # parity double-buffers
+            scratch.append(pltpu.VMEM((2, Bblk, Lp), f32))
+        elif name == "rc":
+            scratch.append(pltpu.VMEM((2, Bblk, Lp), i32))
+        elif name in ("lxv", "lyv", "tjr", "r1c", "r2c", "psx", "psy", "tcr",
+                      "jlr"):
             scratch.append(pltpu.VMEM((Bblk, Lp), i32))
         else:  # m1, r1v, r2v, lm1, r1l, r2l, tvr, tlr
             scratch.append(pltpu.VMEM((Bblk, Lp), f32))
@@ -672,6 +807,11 @@ def wavefront_dp_strip(
     v = jnp.transpose(resv[:, :Bs, :], (1, 0, 2))  # (Bs, R, Lp)
     if mode == "semiglobal":
         idx = (Lp - 1) - jnp.argmax(v[:, :, ::-1], axis=-1)
+    elif gtab:
+        # Global terminals live at lane lx by definition — gather, don't
+        # argmax (and the no-reset kernel leaves stale values on other
+        # lanes, so the argmax form would be wrong here).
+        idx = jnp.clip(lx.astype(jnp.int32)[:Bs], 0, Lp - 1)
     else:
         idx = jnp.argmax(v, axis=-1)
     take = lambda t: jnp.take_along_axis(
@@ -689,9 +829,18 @@ def wavefront_dp_strip(
     return out
 
 
+def strip_opt_default() -> bool:
+    """Round-5 kernel shaves (terminal tables, no-reset global harvest,
+    scalar corner, parity carry buffers) default ON; PRALINE_STRIP_OPT=0
+    restores the round-4 form for on-chip A/B."""
+    import os
+
+    return os.environ.get("PRALINE_STRIP_OPT", "1") != "0"
+
+
 def strip_dispatch_core(cx, inv_x, cy, inv_y, s, lx, ly, *, K, R, gap_series,
                         mode, qd, mxp="highest", hs_layout="dmajor",
-                        traceback=False, interpret=None):
+                        traceback=False, interpret=None, opt=None):
     """Strip producer + strip DP (+ strip-aware device replay), matching the
     output contract of kernels.batch._dispatch_core (score/length/ti/tj/
     tcode per problem; traceback adds moves/nmoves — the strip always
@@ -700,6 +849,8 @@ def strip_dispatch_core(cx, inv_x, cy, inv_y, s, lx, ly, *, K, R, gap_series,
     position ``p % R``."""
     from .fused_scores import fused_skewed_scores_strip
 
+    if opt is None:
+        opt = strip_opt_default()
     B = cx.shape[0]
     Bs = B // R
     hs = fused_skewed_scores_strip(
@@ -713,6 +864,7 @@ def strip_dispatch_core(cx, inv_x, cy, inv_y, s, lx, ly, *, K, R, gap_series,
         ly.reshape(Bs, R).astype(jnp.int32),
         K=K, R=R, gap_series=tuple(gap_series), mode=mode,
         hs_layout=hs_layout, traceback=traceback, interpret=interpret,
+        opt=opt,
     )
     score = out["score"].reshape(B)
     length = out["length"].reshape(B)

@@ -263,3 +263,67 @@ def test_strip_plan_admission():
     assert strip_plan(32, 1023, 1023, (11, 1)) is None  # slots too few
     # skewed buckets already utilize lanes well -> no route
     assert strip_plan(1024, 127, 1023, (11, 1)) is None
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_strip_nonpow2_stride_matches(mode):
+    """Non-pow2 slot strides (round 5: carried column clock) are bit-equal
+    to the classic wavefront — and to the same problems at the old pow2
+    stride."""
+    rng = np.random.default_rng(zlib.crc32(repr(("np2", mode)).encode()))
+    B, bx, by, R = 8, 280, 300, 4
+    K = strip_stride(bx, by)
+    assert K == 384 and K & (K - 1) != 0  # genuinely non-pow2
+    cx, inv_x, cy, inv_y, lx, ly = _workload(rng, B, bx, by)
+    s = jnp.asarray(B62.as_f32())
+
+    hs = skewed_pair_scores(cx, inv_x, cy, inv_y, s)
+    want = wavefront_dp(hs, lx, ly, gap_series=(11, 1), mode=mode)
+
+    for K_run in (K, 512):  # tight non-pow2 stride and the pow2 fallback
+        got = strip_dispatch_core(
+            jnp.asarray(cx), jnp.asarray(inv_x), jnp.asarray(cy),
+            jnp.asarray(inv_y), s, jnp.asarray(lx), jnp.asarray(ly),
+            K=K_run, R=R, gap_series=(11, 1), mode=mode, qd=None,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got["score"]), np.asarray(want["score"]), err_msg=str(K_run)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got["length"]), np.asarray(want["length"])
+        )
+        np.testing.assert_array_equal(np.asarray(got["ti"]), np.asarray(want["ti"]))
+        np.testing.assert_array_equal(np.asarray(got["tj"]), np.asarray(want["tj"]))
+
+
+@pytest.mark.parametrize("mode", ["global", "semiglobal"])
+def test_strip_nonpow2_traceback_paths(mode, monkeypatch):
+    """Non-pow2 stride with device replay: full paths match the oracle."""
+    from praline_tpu.kernels.replay import moves_to_result
+    from praline_tpu.oracle import align_profiles
+    from praline_tpu.types import Profile
+
+    rng = np.random.default_rng(zlib.crc32(repr(("np2tb", mode)).encode()))
+    B, bx, by, R = 8, 280, 300, 4
+    K = strip_stride(bx, by)
+    cx, inv_x, cy, inv_y, lx, ly = _workload(rng, B, bx, by)
+    s = jnp.asarray(B62.as_f32())
+    got = strip_dispatch_core(
+        jnp.asarray(cx), jnp.asarray(inv_x), jnp.asarray(cy),
+        jnp.asarray(inv_y), s, jnp.asarray(lx), jnp.asarray(ly),
+        K=K, R=R, gap_series=(11, 1), mode=mode, qd=None, traceback=True,
+    )
+    moves = np.asarray(got["moves"])
+    nmoves = np.asarray(got["nmoves"])
+    for b in range(B):
+        px = Profile(np.asarray(cx[b, : lx[b]]), np.zeros(lx[b], np.float32), ALPHABET_AA)
+        py = Profile(np.asarray(cy[b, : ly[b]]), np.zeros(ly[b], np.float32), ALPHABET_AA)
+        want = align_profiles(px, py, B62, (11, 1), mode)
+        res = moves_to_result(
+            moves[b], int(nmoves[b]), float(np.asarray(got["score"])[b]),
+            int(np.asarray(got["ti"])[b]), int(np.asarray(got["tj"])[b]),
+            int(lx[b]), int(ly[b]), mode,
+        )
+        assert res.score == want.score, (b, mode)
+        np.testing.assert_array_equal(res.cols_x, want.cols_x)
+        np.testing.assert_array_equal(res.cols_y, want.cols_y)

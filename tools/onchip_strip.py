@@ -45,7 +45,7 @@ R = arg("r", 16)
 MODE = arg("mode", "global", str)
 ONEHOT = "--onehot" in sys.argv
 TB = "--tb" in sys.argv
-K = strip_stride(L, L)
+K = arg("k", strip_stride(L, L))  # --k=2048 forces the old pow2 stride
 print(f"B={B} L={L} R={R} K={K} mode={MODE} onehot={ONEHOT} tb={TB}",
       flush=True)
 
@@ -69,6 +69,10 @@ for _ in range(2):
 
 QD = jnp.int8 if ONEHOT else None
 F32_LAYOUT = arg("layout", "bmajor" if QD is None else "dmajor", str)
+# Production admits "fast" when fast_mxu_exact proves bit-identity (the
+# headline profile workload qualifies); default matches production.
+MXP = arg("mxp", "fast", str)
+OPT = arg("opt", 1)  # strip kernel shaves (round 5): 1 = on
 
 
 def make_classic(producer_only=False):
@@ -77,7 +81,7 @@ def make_classic(producer_only=False):
         hs = fused_skewed_scores(
             cx, ivx, cy, ivy, s,
             out_dtype=QD if QD is not None else jnp.float32,
-            scaled=QD is None, layout=F32_LAYOUT,
+            scaled=QD is None, layout=F32_LAYOUT, mxu_precision=MXP,
         )
         if producer_only:
             return jnp.sum(hs[..., 0].astype(jnp.float32)), jnp.sum(
@@ -107,7 +111,7 @@ def make_strip(producer_only=False):
             hs = fused_skewed_scores_strip(
                 cx, ivx, cy, ivy, s, K=K, R=R,
                 out_dtype=QD if QD is not None else jnp.float32,
-                scaled=QD is None, layout=F32_LAYOUT,
+                scaled=QD is None, layout=F32_LAYOUT, mxu_precision=MXP,
             )
             return jnp.sum(hs[..., 0].astype(jnp.float32)), jnp.sum(
                 hs[..., 77].astype(jnp.float32)
@@ -115,7 +119,7 @@ def make_strip(producer_only=False):
         out = strip_dispatch_core(
             cx, ivx, cy, ivy, s, lx, ly, K=K, R=R,
             gap_series=(11, 1), mode=MODE, qd=QD, hs_layout=F32_LAYOUT,
-            traceback=TB,
+            traceback=TB, mxp=MXP, opt=bool(OPT),
         )
         if TB:
             return out["moves"], out["nmoves"]
@@ -142,8 +146,15 @@ def bench(name, fn, ref=None):
     return got
 
 
-bench("producer classic", make_classic(True))
-bench("producer strip", make_strip(True))
-ref = bench("prod+dp classic", make_classic())
-bench("prod+dp strip", make_strip(), ref)
-print("parity asserted: strip == classic terminals on chip")
+ONLY = arg("only", "", str)
+if ONLY == "strip":
+    # Timing-only rerun of the strip halves (classic + parity already
+    # measured; fresh relay compiles cost minutes each).
+    bench("producer strip", make_strip(True))
+    bench("prod+dp strip", make_strip())
+else:
+    bench("producer classic", make_classic(True))
+    bench("producer strip", make_strip(True))
+    ref = bench("prod+dp classic", make_classic())
+    bench("prod+dp strip", make_strip(), ref)
+    print("parity asserted: strip == classic terminals on chip")

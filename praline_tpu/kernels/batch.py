@@ -862,9 +862,48 @@ class ProfileArena:
             cmax=1.0 if onehot else cmax,
             max_tot=max((self.tot[u] for u in ids), default=1.0),
             ints=ints,
+            profs=profs,  # host refs for exact per-matrix stats (tmax)
         )
         self._stacks[b] = st
         return st
+
+
+def stack_tmax(st: dict, s) -> float:
+    """Exact max |T| = max |counts @ S| over the stack's profiles (host
+    numpy, cached on the stack dict per matrix content digest).  T is the
+    producer's x-side MXU operand; |T| <= 256 integers are bf16-exact and
+    admit the SINGLE-pass tier (fast_mxu_tier / "fast1")."""
+    import hashlib
+
+    key = (
+        "tmax",
+        hashlib.sha1(np.ascontiguousarray(s).tobytes()).hexdigest()[:12],
+    )
+    v = st.get(key)
+    if v is None:
+        v = 0.0
+        for p in st["profs"]:
+            v = max(v, float(np.abs(
+                np.asarray(p.counts, np.float64) @ np.asarray(s, np.float64)
+            ).max(initial=0.0)))
+        st[key] = v
+    return v
+
+
+def fast_mxu_tier(max_s: float, s_integral: bool, sx_st: dict, sy_st: dict,
+                  s) -> str:
+    """MXU precision tier for the fused producers, always bit-identical to
+    "highest": "fast1" (ONE bf16 H pass — every x-side |T| is an integer
+    <= 256, so T itself is bf16-exact and needs no split; round 5),
+    "fast" (integer-split bf16 pair), or "highest" when exactness is not
+    provable.  The single-pass accumulation bound is implied by the
+    fast_mxu_exact gate (it is strictly tighter without the split's hi
+    rounding margin)."""
+    if not fast_mxu_exact(max_s, s_integral, sx_st, sy_st):
+        return "highest"
+    if stack_tmax(sx_st, s) <= 256.0:
+        return "fast1"
+    return "fast"
 
 
 def fast_mxu_exact(max_s: float, s_integral: bool, sx_st: dict, sy_st: dict) -> bool:
@@ -1309,16 +1348,18 @@ def align_pairs_batched(
             if not fused_take:
                 qd = quantized_dtype_for(max_s)
         # MXU precision for the fused producer: admitted only when provably
-        # bit-identical to "highest" — see fast_mxu_exact for the contract.
+        # bit-identical to "highest" — see fast_mxu_tier for the contract
+        # ("fast1" = single bf16 pass when every x-side |T| <= 256).
         mxp = "highest"
         import os as _os
 
         if (
             group_backend == "pallas"
             and _os.environ.get("PRALINE_MXU_PRECISION", "auto") != "highest"
-            and fast_mxu_exact(max_s, s_integral, sx_st, sy_st)
         ):
-            mxp = "fast"
+            mxp = fast_mxu_tier(
+                max_s, s_integral, sx_st, sy_st, matrix.as_f32()
+            )
         static = dict(
             gap_series=tuple(gap_series), mode=mode, traceback=traceback,
             backend=group_backend, qd=qd, replay=device_replay,

@@ -45,8 +45,13 @@ TILE = 128
 # beats the round-2 choice of 32 on the v5e for BOTH the classic and the
 # strip producer (+4-6% — finer grid pipelining; tools/onchip_producer_probe
 # and /tmp sweep logged in STATUS), with identical values (the barrel roll
-# itself measures ~free: `norolls` is not faster).
-PB = 16
+# itself measures ~free: `norolls` is not faster).  Round 5: the producer
+# floors at ~65 ms/headline-set regardless of dots/roll/scale/write-width
+# (tools/onchip_prodroll.py) — per-grid-step overhead — so PRALINE_PB
+# re-opens the block-size A/B (read at import; timing experiments only).
+import os as _os
+
+PB = int(_os.environ.get("PRALINE_PB", "16"))
 
 
 def _ceil_to(x: int, m: int) -> int:
@@ -156,12 +161,12 @@ def fused_skewed_scores(
     Validated compiled-on-chip against the "highest" path by
     tools/onchip_parity.py, including counts at the 256/2**15 bounds.
     """
-    if mxu_precision not in ("highest", "fast"):
+    if mxu_precision not in ("highest", "fast", "fast1"):
         raise ValueError(f"unknown mxu_precision {mxu_precision!r}")
     if layout not in ("dmajor", "bmajor"):
         raise ValueError(f"unknown layout {layout!r}")
     bmajor = layout == "bmajor"
-    fast = mxu_precision == "fast"
+    fast = mxu_precision != "highest"
     t_prec = jax.lax.Precision.DEFAULT if fast else HIGHEST
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -191,12 +196,21 @@ def fused_skewed_scores(
         # the float form (T - f32(bf16(T))) gets ELIDED to zero by XLA's
         # excess-precision pass, which treats f32->bf16->f32 as identity
         # (observed on the v5e).
-        ti = tp4.astype(jnp.int32)
-        hi_i = (ti // 128) * 128
-        tp_ops = (
-            hi_i.astype(jnp.bfloat16),
-            (ti - hi_i).astype(jnp.bfloat16),
-        )
+        if mxu_precision == "fast1":
+            # Single-pass tier (round 5): every |T| <= 256 integer is
+            # bf16-EXACT, so no split is needed at all — ONE bf16 pass
+            # reproduces HIGHEST bit-for-bit (products of bf16-exact
+            # integers are exact in the f32 accumulator).  Admission:
+            # kernels.batch.fast_mxu_tier proves the bound from the
+            # arena's exact per-stack |T| maxima.
+            tp_ops = (tp4.astype(jnp.int32).astype(jnp.bfloat16),)
+        else:
+            ti = tp4.astype(jnp.int32)
+            hi_i = (ti // 128) * 128
+            tp_ops = (
+                hi_i.astype(jnp.bfloat16),
+                (ti - hi_i).astype(jnp.bfloat16),
+            )
         cy4 = cy4.astype(jnp.bfloat16)
     else:
         tp_ops = (tp4,)
@@ -231,13 +245,12 @@ def fused_skewed_scores(
     def iv_hi(b, s_, i):
         return (b, jnp.clip(band_start + s_ - i + 1, 0, CT - 1), 0, 0)
 
+    n_tp = len(tp_ops)
+
     def kernel(*refs):
-        if fast:
-            tphi_ref, tplo_ref, cylo_ref, cyhi_ref = refs[:4]
-            refs = refs[4:]
-        else:
-            tp_ref, cylo_ref, cyhi_ref = refs[:3]
-            refs = refs[3:]
+        tp_refs = refs[:n_tp]
+        cylo_ref, cyhi_ref = refs[n_tp : n_tp + 2]
+        refs = refs[n_tp + 2 :]
         invx_ref, ivlo_ref, ivhi_ref, out_ref = refs
         if bmajor:
             s_id = pl.program_id(2) + band_start
@@ -259,18 +272,15 @@ def fused_skewed_scores(
         # covers both cy tiles.
         dn = (((1,), (1,)), ((0,), (0,)))
         cyc = jnp.concatenate([cyhi, cylo], axis=2)
-        if fast:
-            h2 = jax.lax.dot_general(
-                cyc, tphi_ref[:, 0], dn,
-                preferred_element_type=jnp.float32,
-            ) + jax.lax.dot_general(
-                cyc, tplo_ref[:, 0], dn,
-                preferred_element_type=jnp.float32,
-            )
-        else:
-            h2 = jax.lax.dot_general(
+        extra = {} if fast else dict(precision=HIGHEST)
+        h2 = jax.lax.dot_general(
+            cyc, tp_refs[0][:, 0], dn,
+            preferred_element_type=jnp.float32, **extra,
+        )
+        for tp_ref in tp_refs[1:]:
+            h2 = h2 + jax.lax.dot_general(
                 cyc, tp_ref[:, 0], dn,
-                preferred_element_type=jnp.float32, precision=HIGHEST,
+                preferred_element_type=jnp.float32,
             )
         h_hi, h_lo = h2[:, :TILE], h2[:, TILE:]
         if scaled:
@@ -344,7 +354,7 @@ def fused_skewed_scores(
 @functools.partial(
     jax.jit,
     static_argnames=("K", "R", "out_dtype", "scaled", "interpret",
-                     "mxu_precision", "layout"),
+                     "mxu_precision", "layout", "debug_skip"),
 )
 def fused_skewed_scores_strip(
     cx: jax.Array,  # f32[B, Lx, A] integer-valued counts, B = B_slots * R
@@ -359,6 +369,7 @@ def fused_skewed_scores_strip(
     interpret: bool | None = None,
     mxu_precision: str = "highest",
     layout: str = "dmajor",
+    debug_skip: tuple[str, ...] = (),
 ):
     """Strip-packed skewed scores (kernels.strip): R problems share one
     problem-row, problem ``r`` of a slot occupying global strip columns
@@ -378,14 +389,14 @@ def fused_skewed_scores_strip(
 
     Output rows cover strip steps [0, ceil((R*K + Lx + 1)/128)*128).
     """
-    if mxu_precision not in ("highest", "fast"):
+    if mxu_precision not in ("highest", "fast", "fast1"):
         raise ValueError(f"unknown mxu_precision {mxu_precision!r}")
     if layout not in ("dmajor", "bmajor"):
         raise ValueError(f"unknown layout {layout!r}")
     if K % TILE:
         raise ValueError("strip slot stride K must be a multiple of 128")
     bmajor = layout == "bmajor"
-    fast = mxu_precision == "fast"
+    fast = mxu_precision != "highest"
     t_prec = jax.lax.Precision.DEFAULT if fast else HIGHEST
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -414,7 +425,11 @@ def fused_skewed_scores_strip(
     )
     tp5 = tp4.reshape(Bs_run, R, I, A8, TILE)
     invx5 = invx4.reshape(Bs_run, R, I, 8, TILE)
-    if fast:
+    if mxu_precision == "fast1":
+        # Single-pass tier: |T| <= 256 integers are bf16-exact — see
+        # fused_skewed_scores.
+        tp_ops = (tp5.astype(jnp.int32).astype(jnp.bfloat16),)
+    elif fast:
         # Same integer split as fused_skewed_scores (see its docstring).
         ti = tp5.astype(jnp.int32)
         hi_i = (ti // 128) * 128
@@ -510,32 +525,41 @@ def fused_skewed_scores_strip(
         # inv_x) fetch — two half dots instead of one concatenated dot,
         # same per-element contractions.
         dn = (((1,), (1,)), ((0,), (0,)))
+        extra = {} if fast else dict(precision=HIGHEST)
         h_hi = jax.lax.dot_general(
             cyhi, tphi_refs[0][:, 0, 0], dn,
-            preferred_element_type=jnp.float32,
-            **({} if fast else dict(precision=HIGHEST)),
+            preferred_element_type=jnp.float32, **extra,
         )
         h_lo = jax.lax.dot_general(
             cylo, tplo_refs[0][:, 0, 0], dn,
-            preferred_element_type=jnp.float32,
-            **({} if fast else dict(precision=HIGHEST)),
+            preferred_element_type=jnp.float32, **extra,
         )
-        if fast:
+        for thi, tlo in zip(tphi_refs[1:], tplo_refs[1:]):
             h_hi = h_hi + jax.lax.dot_general(
-                cyhi, tphi_refs[1][:, 0, 0], dn,
+                cyhi, thi[:, 0, 0], dn,
                 preferred_element_type=jnp.float32,
             )
             h_lo = h_lo + jax.lax.dot_general(
-                cylo, tplo_refs[1][:, 0, 0], dn,
+                cylo, tlo[:, 0, 0], dn,
                 preferred_element_type=jnp.float32,
             )
-        if scaled:
+        # debug_skip ("roll"/"scale"/"dots"): timing probes ONLY — outputs
+        # are wrong with any set (tools/onchip_prodroll.py bounds each
+        # stage's share of producer wall-clock).
+        if "dots" in debug_skip:
+            # keep a data dependency on the fetched tiles so DMA stays
+            h_hi = cyhi[:, :1, :].astype(jnp.float32) * 0.0 + jnp.zeros(
+                (PB, TILE, TILE), jnp.float32
+            )
+            h_lo = cylo[:, :1, :].astype(jnp.float32) * 0.0 + h_hi
+        if scaled and "scale" not in debug_skip:
             h_hi = (h_hi * ivxhi_ref[:, 0, 0, 0][:, None, :]) * ivhi_ref[:, 0, 0][:, :, None]
             h_lo = (h_lo * ivxlo_ref[:, 0, 0, 0][:, None, :]) * ivlo_ref[:, 0, 0][:, :, None]
+        roll_bits = () if "roll" in debug_skip else tuple(range(7))
         if bmajor:
             stack = jnp.concatenate([h_hi, h_lo], axis=1)
             lane = jax.lax.broadcasted_iota(jnp.int32, (PB, 2 * TILE, TILE), 2)
-            for bit in range(7):
+            for bit in roll_bits:
                 amt = 1 << bit
                 take = (lane & amt) != 0
                 stack = jnp.where(take, pltpu.roll(stack, amt, 1), stack)
@@ -543,7 +567,7 @@ def fused_skewed_scores_strip(
             return
         stack = jnp.transpose(jnp.concatenate([h_hi, h_lo], axis=1), (1, 0, 2))
         lane = jax.lax.broadcasted_iota(jnp.int32, (2 * TILE, PB, TILE), 2)
-        for bit in range(7):
+        for bit in roll_bits:
             amt = 1 << bit
             take = (lane & amt) != 0
             stack = jnp.where(take, pltpu.roll(stack, amt, 0), stack)

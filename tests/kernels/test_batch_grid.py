@@ -204,7 +204,11 @@ def test_mxu_precision_gate_boundaries(monkeypatch):
                             bucket_sizes=(15,), backend="pallas")
         return seen[-1]
 
-    assert run(prof(3), prof(3)) == "fast"
+    # small exact |T| -> the single-pass tier (round 5)
+    assert run(prof(3), prof(3)) == "fast1"
+    # x-side |T| past 256 but split bounds hold -> the two-pass tier
+    # (blosum62 row sums of the first 6 columns reach |T| > 256 at 48)
+    assert run(prof(48, ncols=6), prof(3)) == "fast"
     assert run(prof(257), prof(3)) == "highest"  # count past bf16-exact
     # column total past the 2**15 T bound (counts stay <= 256)
     big_tot = prof(256, ncols=14)  # total 3584 > 32768/11 ~ 2978

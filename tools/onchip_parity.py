@@ -142,6 +142,23 @@ hs_fast = fused_skewed_scores(*args4, mxu_precision="fast")
 np.testing.assert_array_equal(np.asarray(hs_hi), np.asarray(hs_fast))
 print("on-chip: fast MXU precision bit-equal at the count bounds")
 
+# fast1 (round 5: single bf16 H pass) at ITS admission bound |T| <= 256:
+# a count column of exactly 128 against a +/-2 score row makes |T| = 256.
+cx41 = np.zeros((B4, Lx4, A4), np.float32)
+cx41[:, :, :] = rng4.integers(0, 3, size=(B4, Lx4, A4))
+cx41[:, :, 0] += 1.0
+srow = int(np.argmax(np.abs(np.asarray(m.scores)).max(axis=1)))
+cx41[0, 0, :] = 0.0
+cx41[0, 0, srow] = float(int(256 // np.abs(np.asarray(m.scores))[srow].max()))
+t41 = np.abs(cx41 @ np.asarray(m.scores, np.float64)).max()
+assert t41 <= 256.0, t41
+iv41 = (1.0 / np.maximum(cx41.sum(-1), 1)).astype(np.float32)
+args41 = tuple(map(jnp.asarray, (cx41, iv41, cy4, iv4y, s)))
+hs41_hi = fused_skewed_scores(*args41, mxu_precision="highest")
+hs41_1 = fused_skewed_scores(*args41, mxu_precision="fast1")
+np.testing.assert_array_equal(np.asarray(hs41_hi), np.asarray(hs41_1))
+print("on-chip: fast1 (single-pass) MXU precision bit-equal at |T| bound")
+
 # ---- batch API with on-device replay vs oracle, every mode ----
 mk = lambda L: Profile.from_tokens(
     rng.integers(0, 20, size=L).astype(np.int32), ALPHABET_AA)
@@ -190,6 +207,11 @@ hs_hi_s = fused_skewed_scores_strip(*args4, K=Ks, R=4, mxu_precision="highest")
 hs_fast_s = fused_skewed_scores_strip(*args4, K=Ks, R=4, mxu_precision="fast")
 np.testing.assert_array_equal(np.asarray(hs_hi_s), np.asarray(hs_fast_s))
 print("on-chip: strip fast MXU precision bit-equal at the count bounds")
+
+hs41_hi_s = fused_skewed_scores_strip(*args41, K=Ks, R=4, mxu_precision="highest")
+hs41_1_s = fused_skewed_scores_strip(*args41, K=Ks, R=4, mxu_precision="fast1")
+np.testing.assert_array_equal(np.asarray(hs41_hi_s), np.asarray(hs41_1_s))
+print("on-chip: strip fast1 MXU precision bit-equal at |T| bound")
 
 _os.environ["PRALINE_STRIP"] = "1"
 try:

@@ -24,10 +24,17 @@ import time
 BASELINE_CELLS_PER_S = 1.0e6
 
 
-def bench(B: int = 4096, L: int = 1023, iters: int = 6, backend: str = "auto") -> dict:
+def bench(B: int = 8192, L: int = 1023, iters: int = 6, backend: str = "auto") -> dict:
     """Headline: the PRODUCTION batched driver end to end — indexed
-    profile stacks, super-dispatch grouping (scan-of-4 sub-batches per jit,
+    profile stacks, super-dispatch grouping (scan-of-8 sub-batches per jit,
     kernels.batch), strip-packed fused producer + wavefront DP
+
+    B matches the production distance tile (msa.pipeline.
+    DISTANCE_TILE_PAIRS = 8192): one tile = one super-dispatch = one
+    result pull, exactly the per-pull amortization the real O(N^2) stage
+    gets (round 5: tools/onchip_latency.py measured the relay's
+    dispatch+pull round trip at ~37 ms — a constant that must be amortized
+    by the same workload size production uses, no more, no less).
     (kernels.strip; R=16 problems per lane-row), and the host-side unpack —
     on a ragged profile-profile distance workload."""
     import numpy as np

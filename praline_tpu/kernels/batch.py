@@ -1065,10 +1065,15 @@ def align_pairs_batched(
                     mode,
                 )
         else:
+            # tolist() once per array: per-element float(np_scalar)
+            # conversions cost ~ms per thousand pairs on the hot unpack
+            # path (measured round 5 at the 8192-pair distance tile).
+            sc = score.tolist()
+            ln = length.tolist()
+            tis = ti.tolist()
+            tjs = tj.tolist()
             for b, idx in enumerate(chunk):
-                results[idx] = PairResult(
-                    float(score[b]), float(length[b]), int(ti[b]), int(tj[b])
-                )
+                results[idx] = PairResult(sc[b], ln[b], tis[b], tjs[b])
 
     for (bx, by), idxs in sorted(groups.items()):
         # ---- oversized routing (VERDICT r1 item 6: router, not error) ----

@@ -186,9 +186,10 @@ def batched_all_pairs(
             tile_lengths = np.array([r.length for r in results])
             if ckpt:
                 ckpt.save_distance_tile(tile_id, tile_scores, tile_lengths)
-        for (i, j), s, ln in zip(tile, tile_scores, tile_lengths):
-            scores[i, j] = scores[j, i] = float(s)
-            lengths[i, j] = lengths[j, i] = int(ln)
+        ii = np.fromiter((i for i, _ in tile), np.int64, len(tile))
+        jj = np.fromiter((j for _, j in tile), np.int64, len(tile))
+        scores[ii, jj] = scores[jj, ii] = np.asarray(tile_scores, np.float64)
+        lengths[ii, jj] = lengths[jj, ii] = np.asarray(tile_lengths, np.int64)
         log.info(
             "all-pairs: %d/%d pairs done%s",
             min(t + DISTANCE_TILE_PAIRS, len(index)),

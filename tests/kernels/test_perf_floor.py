@@ -42,10 +42,11 @@ def _run_bench(config: str, timeout: int = 1200) -> dict:
 
 @requires_perf
 def test_cells_per_second_floor():
-    # Driver target is 1e9 cells/s/chip [B:5]; round-4 measured 10.2e9
-    # (strip-packed wavefront route).
+    # Driver target is 1e9 cells/s/chip [B:5]; round-5 measured 12.2e9
+    # (strip shaves + production-tile pull amortization + tolist unpack;
+    # compute-only rate 14.3e9, tools/onchip_latency.py).
     result = _run_bench("cells")
-    assert result["value"] >= 5.0e9, result
+    assert result["value"] >= 6.0e9, result
 
 
 @requires_perf

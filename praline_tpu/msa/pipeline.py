@@ -157,9 +157,18 @@ def batched_all_pairs(
     for i in range(n):
         lengths[i, i] = max(1, sequences[i].length)
 
-    for t in range(0, max(1, len(index)), DISTANCE_TILE_PAIRS):
-        tile_id = t // DISTANCE_TILE_PAIRS
-        tile = index[t : t + DISTANCE_TILE_PAIRS]
+    # Tiles exist for RESUME granularity; without a checkpoint (or fault
+    # seam) the whole stage runs as ONE call — the batch driver's async
+    # in-flight queue then overlaps every chunk's result pull with the
+    # next chunk's compute, leaving a single serial pull for the stage
+    # (the relay round trip is ~37 ms/pull, tools/onchip_latency.py).
+    tile_pairs = DISTANCE_TILE_PAIRS
+    if ckpt is None and fault_hook is None:
+        tile_pairs = max(len(index), 1)
+
+    for t in range(0, max(1, len(index)), tile_pairs):
+        tile_id = t // tile_pairs
+        tile = index[t : t + tile_pairs]
         if not tile:
             break
         loaded = ckpt.load_distance_tile(tile_id) if ckpt else None
@@ -192,7 +201,7 @@ def batched_all_pairs(
         lengths[ii, jj] = lengths[jj, ii] = np.asarray(tile_lengths, np.int64)
         log.info(
             "all-pairs: %d/%d pairs done%s",
-            min(t + DISTANCE_TILE_PAIRS, len(index)),
+            min(t + tile_pairs, len(index)),
             len(index),
             " (from checkpoint)" if loaded is not None else "",
         )

@@ -327,3 +327,41 @@ def test_strip_nonpow2_traceback_paths(mode, monkeypatch):
         assert res.score == want.score, (b, mode)
         np.testing.assert_array_equal(res.cols_x, want.cols_x)
         np.testing.assert_array_equal(res.cols_y, want.cols_y)
+
+
+def test_strip_nonpow2_through_batch_api(monkeypatch):
+    """User bucket sizes that are not pow2-1 route through the strip with
+    the tight non-pow2 stride (round 5) — full driver path, oracle
+    parity."""
+    from praline_tpu.kernels import align_pairs_batched
+    from praline_tpu.kernels import strip as strip_mod
+    from praline_tpu.oracle import align_profiles
+    from praline_tpu.types import Profile
+
+    monkeypatch.setenv("PRALINE_STRIP", "1")
+    rng = np.random.default_rng(55)
+    seen = []
+    real = strip_mod.strip_dispatch_core
+
+    def spy(*a, **k):
+        seen.append(k.get("K"))
+        return real(*a, **k)
+
+    monkeypatch.setattr(strip_mod, "strip_dispatch_core", spy)
+    # bucket 300 -> Lp=301 -> K=384 (not a power of two)
+    profs = []
+    for L in rng.integers(250, 301, size=12):
+        c = rng.integers(0, 3, size=(int(L), A)).astype(np.float32)
+        zero = c.sum(axis=1) == 0
+        c[zero, 0] = 1.0
+        profs.append(Profile(c, np.zeros(int(L), np.float32), ALPHABET_AA))
+    pairs = [(profs[i % 12], profs[(5 * i + 1) % 12]) for i in range(8)]
+    got = align_pairs_batched(
+        pairs, B62, (11, 1), "global", bucket_sizes=(300,), batch_pairs=8,
+        backend="pallas",
+    )
+    assert seen and seen[0] == 384 and (seen[0] & (seen[0] - 1)) != 0
+    for (px, py), r in zip(pairs, got):
+        want = align_profiles(px, py, B62, (11, 1), "global")
+        assert r.score == want.score
+        assert r.length == want.length

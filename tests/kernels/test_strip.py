@@ -365,3 +365,26 @@ def test_strip_nonpow2_through_batch_api(monkeypatch):
         want = align_profiles(px, py, B62, (11, 1), "global")
         assert r.score == want.score
         assert r.length == want.length
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_strip_opt_forms_agree(mode):
+    """The round-4 kernel form (opt=False, the PRALINE_STRIP_OPT=0 A/B
+    baseline) and the round-5 shaved form produce identical outputs."""
+    rng = np.random.default_rng(zlib.crc32(repr(("opt", mode)).encode()))
+    B, bx, by, R = 8, 21, 25, 4
+    K = strip_stride(bx, by)
+    cx, inv_x, cy, inv_y, lx, ly = _workload(rng, B, bx, by)
+    s = jnp.asarray(B62.as_f32())
+    outs = [
+        strip_dispatch_core(
+            jnp.asarray(cx), jnp.asarray(inv_x), jnp.asarray(cy),
+            jnp.asarray(inv_y), s, jnp.asarray(lx), jnp.asarray(ly),
+            K=K, R=R, gap_series=(11, 1), mode=mode, qd=None, opt=opt,
+        )
+        for opt in (True, False)
+    ]
+    for key in ("score", "length", "ti", "tj"):
+        np.testing.assert_array_equal(
+            np.asarray(outs[0][key]), np.asarray(outs[1][key]), err_msg=key
+        )

@@ -394,6 +394,8 @@ def composite_dispatch_body(sxs, ivxs, lensx, sys_, ivys, lensy, ix, iy,
     on device in every mode (bit 7 carries the local stop rule).  Shared
     by the single-device jit and the sharded mesh path
     (dist.allpairs.sharded_tracks_dispatch)."""
+    import os as _os
+
     import jax
     import jax.numpy as jnp
 
@@ -402,18 +404,32 @@ def composite_dispatch_body(sxs, ivxs, lensx, sys_, ivys, lensy, ix, iy,
 
     lx = jnp.take(lensx, ix)
     ly = jnp.take(lensy, iy)
-    terms = []
-    for t, w in enumerate(weights):
+
+    # Strip route (round 5): composites ride the strip-packed wavefront
+    # like single-track dispatches — per-track STRIP producers, the same
+    # scan-boundary weighted accumulation (per-element values and rounding
+    # order are layout-independent, so the composite stays bit-identical
+    # to oracle.align_tracksets), strip DP + strip-aware device replay.
+    # Previously tracksets ran the XLA gather producer + scan kernel.
+    strip = None
+    if _os.environ.get("PRALINE_STRIP", "auto") != "0":
+        from .strip import strip_plan
+
+        strip = strip_plan(
+            ix.shape[0], sxs[0].shape[1], sys_[0].shape[1], gap_series,
+            force=_os.environ.get("PRALINE_STRIP") == "1",
+        )
+
+    def _term(t, w, producer):
         cx = jnp.take(sxs[t], ix, axis=0).astype(jnp.float32)
         ivx = jnp.take(ivxs[t], ix, axis=0)
         cy = jnp.take(sys_[t], iy, axis=0).astype(jnp.float32)
         ivy = jnp.take(ivys[t], iy, axis=0)
-        terms.append(
-            jnp.float32(w) * skewed_pair_scores(cx, ivx, cy, ivy, ss[t])
-        )
-    if len(terms) == 1:
-        hs = terms[0]
-    else:
+        return jnp.float32(w) * producer(cx, ivx, cy, ivy, ss[t])
+
+    def _accumulate(terms):
+        if len(terms) == 1:
+            return terms[0]
         # Accumulate in track order through a scan: each add rounds on
         # a materialized term, bit-identical to the per-op-dispatch
         # oracle accumulation.
@@ -421,6 +437,26 @@ def composite_dispatch_body(sxs, ivxs, lensx, sys_, ivys, lensy, ix, iy,
             lambda acc, term: (acc + term, None),
             terms[0], jnp.stack(terms[1:]),
         )
+        return hs
+
+    if strip is not None:
+        from .fused_scores import fused_skewed_scores_strip
+        from .strip import strip_run_from_hs
+
+        K, R = strip
+        hs = _accumulate([
+            _term(t, w, lambda cx, ivx, cy, ivy, s: fused_skewed_scores_strip(
+                cx, ivx, cy, ivy, s, K=K, R=R))
+            for t, w in enumerate(weights)
+        ])
+        return strip_run_from_hs(
+            hs, lx, ly, K=K, R=R, gap_series=gap_series, mode=mode,
+            traceback=traceback, steps=steps,
+        )
+
+    hs = _accumulate([
+        _term(t, w, skewed_pair_scores) for t, w in enumerate(weights)
+    ])
     out = wavefront_dp(
         hs, lx, ly, gap_series=gap_series, mode=mode, traceback=traceback
     )

@@ -838,27 +838,19 @@ def strip_opt_default() -> bool:
     return os.environ.get("PRALINE_STRIP_OPT", "1") != "0"
 
 
-def strip_dispatch_core(cx, inv_x, cy, inv_y, s, lx, ly, *, K, R, gap_series,
-                        mode, qd, mxp="highest", hs_layout="dmajor",
-                        traceback=False, interpret=None, opt=None):
-    """Strip producer + strip DP (+ strip-aware device replay), matching the
-    output contract of kernels.batch._dispatch_core (score/length/ti/tj/
-    tcode per problem; traceback adds moves/nmoves — the strip always
-    replays on device, the raw-bit layout never leaves the jit).  Problems
-    are grouped slot-major: problem ``p`` is slot ``p // R``, strip
-    position ``p % R``."""
-    from .fused_scores import fused_skewed_scores_strip
-
+def strip_run_from_hs(hs, lx, ly, *, K, R, gap_series, mode,
+                      hs_layout="dmajor", traceback=False, steps=None,
+                      interpret=None, opt=None):
+    """Strip DP over an ALREADY-PRODUCED strip score tensor + the batch
+    output contract (score/length/ti/tj/tcode per problem; traceback adds
+    moves/nmoves via strip-aware device replay).  Shared by the
+    single-track core below and the multi-track composite route
+    (kernels.batch.composite_dispatch_body), whose hs is a weighted
+    per-track accumulation."""
     if opt is None:
         opt = strip_opt_default()
-    B = cx.shape[0]
+    B = lx.shape[0]
     Bs = B // R
-    hs = fused_skewed_scores_strip(
-        cx, inv_x, cy, inv_y, s, K=K, R=R,
-        out_dtype=qd if qd is not None else jnp.float32,
-        scaled=qd is None, mxu_precision=mxp, layout=hs_layout,
-        interpret=interpret,
-    )
     out = wavefront_dp_strip(
         hs, lx.reshape(Bs, R).astype(jnp.int32),
         ly.reshape(Bs, R).astype(jnp.int32),
@@ -889,12 +881,36 @@ def strip_dispatch_core(cx, inv_x, cy, inv_y, s, lx, ly, *, K, R, gap_series,
         moves, nmoves = replay_moves(
             out["tb"], ti, tj, tcode,
             gap_series=tuple(gap_series), mode=mode,
-            steps=cx.shape[1] + cy.shape[1],
+            steps=steps,
             strip=(K, R),
         )
         res["moves"] = moves
         res["nmoves"] = nmoves
     return res
+
+
+def strip_dispatch_core(cx, inv_x, cy, inv_y, s, lx, ly, *, K, R, gap_series,
+                        mode, qd, mxp="highest", hs_layout="dmajor",
+                        traceback=False, interpret=None, opt=None):
+    """Strip producer + strip DP (+ strip-aware device replay), matching the
+    output contract of kernels.batch._dispatch_core (score/length/ti/tj/
+    tcode per problem; traceback adds moves/nmoves — the strip always
+    replays on device, the raw-bit layout never leaves the jit).  Problems
+    are grouped slot-major: problem ``p`` is slot ``p // R``, strip
+    position ``p % R``."""
+    from .fused_scores import fused_skewed_scores_strip
+
+    hs = fused_skewed_scores_strip(
+        cx, inv_x, cy, inv_y, s, K=K, R=R,
+        out_dtype=qd if qd is not None else jnp.float32,
+        scaled=qd is None, mxu_precision=mxp, layout=hs_layout,
+        interpret=interpret,
+    )
+    return strip_run_from_hs(
+        hs, lx, ly, K=K, R=R, gap_series=gap_series, mode=mode,
+        hs_layout=hs_layout, traceback=traceback,
+        steps=cx.shape[1] + cy.shape[1], interpret=interpret, opt=opt,
+    )
 
 
 def strip_plan(B: int, bx: int, by: int, gap_series, lengths: bool = True,

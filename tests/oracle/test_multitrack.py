@@ -226,3 +226,47 @@ def test_batched_tracksets_super_dispatch_groups():
         want = align_tracksets(txs, tys, mats, w, (11, 1), "global")
         assert r.score == want.score
         np.testing.assert_array_equal(r.cols_x, want.cols_x)
+
+
+@pytest.mark.parametrize("mode", ["global", "semiglobal", "local"])
+@pytest.mark.parametrize("tb", [False, True])
+def test_tracksets_ride_the_strip(monkeypatch, mode, tb):
+    """Round 5: composite dispatches route through the strip-packed
+    wavefront (per-track strip producers + the scan-boundary weighted
+    accumulation + strip DP/replay), bit-identical to the oracle.
+    PRALINE_STRIP=1 forces admission at test shapes; distinctive bucket
+    sizes avoid stale-trace collisions with the unforced tests."""
+    from praline_tpu.kernels import strip as strip_mod
+
+    monkeypatch.setenv("PRALINE_STRIP", "1")
+    seen = []
+    real = strip_mod.strip_run_from_hs
+
+    def spy(*a, **k):
+        seen.append(k.get("K"))
+        return real(*a, **k)
+
+    monkeypatch.setattr(strip_mod, "strip_run_from_hs", spy)
+    rng = np.random.default_rng(91)
+    mats, w = [B62, PAM], (1.0, 0.5)
+    pairs = []
+    for _ in range(16):
+        Lx, Ly = int(rng.integers(20, 34)), int(rng.integers(20, 34))
+        pairs.append(
+            ((_prof(rng, Lx), _prof(rng, Lx)), (_prof(rng, Ly), _prof(rng, Ly)))
+        )
+    got = align_tracksets_batched(
+        pairs, mats, w, (11, 1), mode, traceback=tb,
+        bucket_sizes=(33,), batch_pairs=16,
+    )
+    # the spy fires at TRACE time; distinctive shapes guarantee a fresh
+    # trace in this test
+    assert seen, "composite dispatch did not take the strip route"
+    for (txs, tys), r in zip(pairs, got):
+        want = align_tracksets(txs, tys, mats, w, (11, 1), mode)
+        assert r.score == want.score, (mode, tb)
+        if tb:
+            np.testing.assert_array_equal(r.cols_x, want.cols_x)
+            np.testing.assert_array_equal(r.cols_y, want.cols_y)
+        else:
+            assert r.length == want.length

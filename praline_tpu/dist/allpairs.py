@@ -420,7 +420,8 @@ def sharded_chunked_dispatch(mesh, cx, inv_x, cy, inv_y, s, lx, ly, *,
 
 
 @functools.lru_cache(maxsize=32)
-def _build_tracks(mesh_key, gap_series, mode, traceback, weights, steps, T):
+def _build_tracks(mesh_key, gap_series, mode, traceback, weights, steps, T,
+                  mxp="highest"):
     """Sharded MULTI-TRACK dispatch: the composite indexed body
     (kernels.batch.composite_dispatch_body) inside shard_map with the pair
     axis sharded; per-track stacks replicate, index vectors shard, and
@@ -441,7 +442,7 @@ def _build_tracks(mesh_key, gap_series, mode, traceback, weights, steps, T):
         out = composite_dispatch_body(
             sxs, ivxs, lensx, sys_, ivys, lensy, ix, iy, ss,
             gap_series=gap_series, mode=mode, traceback=traceback,
-            weights=weights, steps=steps,
+            weights=weights, steps=steps, mxp=mxp,
         )
         return {
             k: jax.lax.all_gather(v, PAIR_AXIS, axis=0, tiled=True)
@@ -455,9 +456,9 @@ def _build_tracks(mesh_key, gap_series, mode, traceback, weights, steps, T):
 
 def sharded_tracks_dispatch(mesh, sxs, ivxs, lensx, sys_, ivys, lensy,
                             ix, iy, ss, *, gap_series, mode, traceback,
-                            weights, steps):
+                            weights, steps, mxp="highest"):
     """Multi-track composite batched DP with the pair axis sharded."""
     key = _register_mesh(mesh)
     fn = _build_tracks(key, tuple(gap_series), mode, traceback,
-                       tuple(weights), int(steps), len(ss))
+                       tuple(weights), int(steps), len(ss), mxp)
     return fn(sxs, ivxs, lensx, sys_, ivys, lensy, ix, iy, ss)

@@ -383,7 +383,7 @@ def _snap_batch(cap: int, batch_pairs: int) -> int:
 
 def composite_dispatch_body(sxs, ivxs, lensx, sys_, ivys, lensy, ix, iy,
                             ss, *, gap_series, mode, traceback, weights,
-                            steps):
+                            steps, mxp="highest"):
     """Indexed multi-track dispatch body: per-track profile stacks live on
     device, a chunk ships two int32 index vectors, and the composite
     skewed score tensor accumulates per track with PINNED rounding — the
@@ -446,7 +446,7 @@ def composite_dispatch_body(sxs, ivxs, lensx, sys_, ivys, lensy, ix, iy,
         K, R = strip
         hs = _accumulate([
             _term(t, w, lambda cx, ivx, cy, ivy, s: fused_skewed_scores_strip(
-                cx, ivx, cy, ivy, s, K=K, R=R))
+                cx, ivx, cy, ivy, s, K=K, R=R, mxu_precision=mxp))
             for t, w in enumerate(weights)
         ])
         return strip_run_from_hs(
@@ -477,7 +477,8 @@ def _composite_indexed_jit():
 
     return jax.jit(
         composite_dispatch_body,
-        static_argnames=("gap_series", "mode", "traceback", "weights", "steps"),
+        static_argnames=("gap_series", "mode", "traceback", "weights", "steps",
+                         "mxp"),
     )
 
 
@@ -490,16 +491,17 @@ def _composite_multi_jit():
 
     @functools.partial(
         jax.jit,
-        static_argnames=("gap_series", "mode", "traceback", "weights", "steps"),
+        static_argnames=("gap_series", "mode", "traceback", "weights", "steps",
+                         "mxp"),
     )
     def run(sxs, ivxs, lensx, sys_, ivys, lensy, ix2, iy2, ss, *, gap_series,
-            mode, traceback, weights, steps):
+            mode, traceback, weights, steps, mxp="highest"):
         def body(_, xs):
             ix, iy = xs
             return 0, composite_dispatch_body(
                 sxs, ivxs, lensx, sys_, ivys, lensy, ix, iy, ss,
                 gap_series=gap_series, mode=mode, traceback=traceback,
-                weights=weights, steps=steps,
+                weights=weights, steps=steps, mxp=mxp,
             )
 
         _, outs = jax.lax.scan(body, 0, (ix2, iy2))
@@ -585,6 +587,52 @@ def align_tracksets_batched(
 
     ss = tuple(jnp.asarray(m.as_f32()) for m in matrices)
     w = tuple(float(x) for x in weights)
+
+    # MXU tier for the strip producers, provably bit-identical to
+    # "highest" (see fast_mxu_tier): computed over EVERY registered
+    # trackset per track (a superset of each dispatch's x/y sides, so the
+    # per-side bounds hold a fortiori).  The XLA fallback path ignores it.
+    import os as _os
+
+    def _tracks_mxp() -> str:
+        if _os.environ.get("PRALINE_MXU_PRECISION", "auto") == "highest":
+            return "highest"
+        if not reg:
+            return "highest"
+        tier = "fast1"
+        for t, m in enumerate(matrices):
+            sarr = np.asarray(m.scores, np.float64)
+            max_s = float(np.abs(sarr).max(initial=0.0))
+            if not (np.all(sarr == np.rint(sarr)) and max_s <= 256):
+                return "highest"
+            profs_t = [ts[t] for ts in reg]
+            if not all(
+                bool(np.all(p.counts == np.rint(p.counts))) for p in profs_t
+            ):
+                return "highest"
+            cmax = max(float(p.counts.max(initial=0.0)) for p in profs_t)
+            mt = max(
+                (float(p.counts.sum(axis=1).max(initial=0.0)) for p in profs_t),
+                default=1.0,
+            )
+            if not (
+                cmax <= 256
+                and mt * max_s < 32768
+                and mt * mt * max_s + 64.0 * mt < float(2**24)
+            ):
+                return "highest"
+            if tier == "fast1":
+                tmax = max(
+                    float(np.abs(
+                        np.asarray(p.counts, np.float64) @ sarr
+                    ).max(initial=0.0))
+                    for p in profs_t
+                )
+                if tmax > 256.0:
+                    tier = "fast"
+        return tier
+
+    tracks_mxp = _tracks_mxp()
 
     # Per-(bucket, side-set) padded track stacks, built once per call.
     stack_cache: dict[tuple[int, tuple[int, ...]], tuple] = {}
@@ -676,6 +724,7 @@ def align_tracksets_batched(
         static = dict(
             gap_series=tuple(gap_series), mode=mode,
             traceback=traceback, weights=w, steps=bx + by,
+            mxp=tracks_mxp,
         )
         di = 0
         while di < len(descs):

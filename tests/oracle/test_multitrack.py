@@ -270,3 +270,34 @@ def test_tracksets_ride_the_strip(monkeypatch, mode, tb):
             np.testing.assert_array_equal(r.cols_y, want.cols_y)
         else:
             assert r.length == want.length
+
+
+def test_tracksets_mxp_tier_parity(monkeypatch):
+    """The trackset MXU tier (round 5): strip composites run fast/fast1
+    producers when every track proves exact — results identical to the
+    forced-highest escape hatch."""
+    from praline_tpu.kernels import batch as batch_mod
+
+    monkeypatch.setenv("PRALINE_STRIP", "1")
+    rng = np.random.default_rng(17)
+    mats, w = [B62, PAM], (1.0, 0.5)
+    pairs = []
+    for _ in range(8):
+        Lx, Ly = int(rng.integers(18, 30)), int(rng.integers(18, 30))
+        pairs.append(
+            ((_prof(rng, Lx), _prof(rng, Lx)), (_prof(rng, Ly), _prof(rng, Ly)))
+        )
+
+    got_auto = align_tracksets_batched(
+        pairs, mats, w, (11, 1), "global", traceback=True,
+        bucket_sizes=(29,), batch_pairs=8,
+    )
+    monkeypatch.setenv("PRALINE_MXU_PRECISION", "highest")
+    got_hi = align_tracksets_batched(
+        pairs, mats, w, (11, 1), "global", traceback=True,
+        bucket_sizes=(29,), batch_pairs=8,
+    )
+    for a, b in zip(got_auto, got_hi):
+        assert a.score == b.score
+        np.testing.assert_array_equal(a.cols_x, b.cols_x)
+        np.testing.assert_array_equal(a.cols_y, b.cols_y)

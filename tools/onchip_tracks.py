@@ -62,9 +62,12 @@ for k in range(2):
 
 
 def run(pairs):
+    # production-default batch_pairs: term accumulation holds T+1 full hs
+    # tensors, so oversized dispatch chunks spill HBM (measured: forcing
+    # batch_pairs=1024 at L=1023 costs ~2x vs the 256 default)
     return align_tracksets_batched(
         pairs, mats, w, (11, 1), "global", traceback=False,
-        bucket_sizes=(L,), batch_pairs=B,
+        bucket_sizes=(L,),
     )
 
 

@@ -565,6 +565,21 @@ def align_tracksets_batched(
             reg.append(tuple(ts))
         return k
 
+    # Same predicate as oracle.score.check_exactness, on per-profile
+    # cached totals (round 5: the per-pair x per-track numpy scans were
+    # ~200 ms of HOST time per 1024-pair dispatch —
+    # tools/onchip_tracks_split.py located the tail).
+    max_s_t = [float(np.abs(np.asarray(m.scores)).max(initial=0.0))
+               for m in matrices]
+    tot_cache: dict[int, float] = {}
+
+    def _tot(p) -> float:
+        v = tot_cache.get(id(p))
+        if v is None:
+            v = float(p.counts.sum(axis=1).max(initial=0.0))
+            tot_cache[id(p)] = v
+        return v
+
     groups: dict[tuple[int, int], list[int]] = {}
     pair_reg: list[tuple[int, int] | None] = [None] * len(pairs)
     for idx, (txs, tys) in enumerate(pairs):
@@ -579,8 +594,9 @@ def align_tracksets_batched(
                 r.score, float(r.length), Lx, Ly
             )
             continue
-        for px, py, m in zip(txs, tys, matrices):
-            check_exactness(px, py, m)
+        for px, py, m, ms in zip(txs, tys, matrices, max_s_t):
+            if _tot(px) * _tot(py) * ms >= EXACT_DOT_LIMIT:
+                check_exactness(px, py, m)  # raises with the full message
         pair_reg[idx] = (_reg(txs), _reg(tys))
         key = (_bucket(Lx, bucket_sizes), _bucket(Ly, bucket_sizes))
         groups.setdefault(key, []).append(idx)
@@ -674,18 +690,23 @@ def align_tracksets_batched(
         tj = np.asarray(out["tj"])
         if mode == "semiglobal":
             length = length + (lx - ti) + (ly - tj)
-        for b, idx in enumerate(chunk):
-            if traceback:
+        if traceback:
+            for b, idx in enumerate(chunk):
                 results[idx] = moves_to_result(
                     np.asarray(out["moves"])[b],
                     int(np.asarray(out["nmoves"])[b]),
                     float(score[b]), int(ti[b]), int(tj[b]),
                     int(lx[b]), int(ly[b]), mode,
                 )
-            else:
-                results[idx] = PairResult(
-                    float(score[b]), float(length[b]), int(ti[b]), int(tj[b])
-                )
+        else:
+            # tolist() once per array (round 5: per-element np-scalar
+            # conversions are milliseconds per thousand pairs)
+            sc = score.tolist()
+            ln = np.asarray(length).tolist()
+            tis = ti.tolist()
+            tjs = tj.tolist()
+            for b, idx in enumerate(chunk):
+                results[idx] = PairResult(sc[b], ln[b], tis[b], tjs[b])
 
     def drain(limit: int) -> None:
         while len(in_flight) > limit:

@@ -436,6 +436,56 @@ def bench_allpairs100() -> dict:
             "vs_baseline": (cells / dt) / BASELINE_CELLS_PER_S}
 
 
+def bench_tracks() -> dict:
+    """Multi-track composite throughput (SURVEY C4): two-track (blosum62 +
+    pam250) one-hot tracksets through the production driver — round 5
+    routes composites over the strip with the provable MXU tier."""
+    import numpy as np
+
+    from praline_tpu import ALPHABET_AA, builtin_score_matrix
+    from praline_tpu.kernels import align_tracksets_batched
+    from praline_tpu.types import Profile
+
+    rng = np.random.default_rng(0)
+    mats = [builtin_score_matrix("blosum62"), builtin_score_matrix("pam250")]
+    w = (1.0, 0.5)
+    L = 1023
+    profs = [
+        Profile.from_tokens(
+            rng.integers(0, 20, size=int(rng.integers(L // 2, L + 1))).astype(np.int32),
+            ALPHABET_AA,
+        )
+        for _ in range(64)
+    ]
+    sets, cells = [], []
+    for k in range(2):
+        pairs, c = [], 0.0
+        for i in range(1024):
+            px = profs[(i * 7 + 3 * k) % 64]
+            py = profs[(i * 13 + 5 + k) % 64]
+            c += float(px.length) * py.length
+            pairs.append(((px, px), (py, py)))
+        sets.append(pairs)
+        cells.append(c)
+
+    def run(pairs):
+        return align_tracksets_batched(
+            pairs, mats, w, (11, 1), "global", traceback=False,
+            bucket_sizes=(L,),
+        )
+
+    run(sets[0])
+    run(sets[1])
+    rates = []
+    for it in range(6):
+        t0 = time.perf_counter()
+        run(sets[it % 2])
+        rates.append(cells[it % 2] / (time.perf_counter() - t0))
+    value = float(np.median(rates))
+    return {"metric": "tracks_cells_per_s", "value": value, "unit": "cells/s",
+            "vs_baseline": value / BASELINE_CELLS_PER_S}
+
+
 def bench_msa(preprofile: str = "dummy") -> dict:
     """BASELINE configs 3/4: full progressive MSA (config 4 with global
     master-slave preprofiles)."""
@@ -665,6 +715,7 @@ CONFIGS = {
     "utilization": bench_utilization,
     "pairwise": bench_pairwise,
     "allpairs100": bench_allpairs100,
+    "tracks": bench_tracks,
     "msa": bench_msa,
     "preprofile": lambda: bench_msa("global"),
     "modes": bench_modes,

@@ -72,3 +72,11 @@ def test_allpairs100_wallclock_floor():
     dispatch; round-4 measured 0.084 s steady-state on the v5e."""
     result = _run_bench("allpairs100")
     assert result["value"] <= 0.25, result
+
+
+@requires_perf
+def test_tracks_cells_per_second_floor():
+    """Multi-track composite floor (round 5: the strip route + MXU tier
+    took tracksets from 0.4-0.8e9/OOM to 1.7-2.5e9 driver-level)."""
+    result = _run_bench("tracks")
+    assert result["value"] >= 0.8e9, result

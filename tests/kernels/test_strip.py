@@ -388,3 +388,35 @@ def test_strip_opt_forms_agree(mode):
         np.testing.assert_array_equal(
             np.asarray(outs[0][key]), np.asarray(outs[1][key]), err_msg=key
         )
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_strip_shape_fuzz_vs_scan(seed, monkeypatch):
+    """Randomized strip shapes (bucket geometry, R, mode, series — pow2
+    and non-pow2 strides mixed) against the scan kernel: a cheap guard
+    for seam/harvest/clock edge cases the fixed-shape tests miss."""
+    monkeypatch.setenv("PRALINE_STRIP", "1")
+    rng = np.random.default_rng(1000 + seed)
+    mode = ["global", "semiglobal", "local"][seed % 3]
+    gap_series = [(11, 1), (3,), (5, 3, 1)][(seed // 3) % 3]
+    bx = int(rng.integers(8, 200))
+    by = int(rng.integers(8, 200))
+    R = int(rng.choice([2, 4, 8]))
+    B = R * int(rng.integers(2, 5))
+    K = strip_stride(bx, by)
+    cx, inv_x, cy, inv_y, lx, ly = _workload(rng, B, bx, by)
+    s = jnp.asarray(B62.as_f32())
+    hs = skewed_pair_scores(cx, inv_x, cy, inv_y, s)
+    want = wavefront_dp(hs, lx, ly, gap_series=gap_series, mode=mode)
+    got = strip_dispatch_core(
+        jnp.asarray(cx), jnp.asarray(inv_x), jnp.asarray(cy),
+        jnp.asarray(inv_y), s, jnp.asarray(lx), jnp.asarray(ly),
+        K=K, R=R, gap_series=gap_series, mode=mode, qd=None,
+    )
+    ctx = (seed, mode, gap_series, bx, by, R, K)
+    np.testing.assert_array_equal(
+        np.asarray(got["score"]), np.asarray(want["score"]), err_msg=str(ctx)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got["length"]), np.asarray(want["length"]), err_msg=str(ctx)
+    )

@@ -280,8 +280,9 @@ def bench_utilization() -> dict:
     # DP accounting: scores mode (the headline).  Since round 4 the
     # production route is the STRIP (kernels.strip): R problems share one
     # lane-row, so the old ~2.002x wavefront lane-slot inflation collapses
-    # to (R*K + Lp) * Lp / (R * Lx * Ly) ~ 1.07 at the headline's square
-    # L=1023, R=16 shape (the strip carries a few extra rows/ops per step
+    # to (R*K + Lp) * Lp / (R * Lx * Ly) ~ 1.02-1.07 at the headline's
+    # square L=1023 shape, R from strip_plan (round 5: R=64 — the strip
+    # carries a few extra rows/ops per step
     # for seam borders + harvest; close enough to the scan body count for
     # this roofline estimate).
     ops_per_step_lane = _count_step_lane_ops()

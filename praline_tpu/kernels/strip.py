@@ -929,12 +929,33 @@ def strip_plan(B: int, bx: int, by: int, gap_series, lengths: bool = True,
     # kernel; stay under the classic ceiling with margin.
     if Lp > int(0.85 * max_lanes(tuple(gap_series), False, lengths)):
         return None
+    import os
+
+    rv = os.environ.get("PRALINE_STRIP_R")
+    if rv:
+        # same-relay-state A/B knob: force the packing factor (admission
+        # gates above still apply; divisibility still required)
+        r = int(rv)
+        return (K, r) if B % r == 0 and B // r >= 2 else None
     R = None
-    min_slots = 2 if force else 32
-    for r in (16, 8, 4) + ((2,) if force else ()):
-        if B % r == 0 and B // r >= min_slots:
-            R = r
-            break
+    if force:
+        for r in (64, 32, 16, 8, 4, 2):
+            if B % r == 0 and B // r >= 2:
+                R = r
+                break
+    else:
+        # Largest packing whose slot count still fills the machine: 32
+        # slots always do; 16 slots only when per-step work (slots * K
+        # lanes) stays >= 16384 — measured on the v5e (round 5):
+        # B=1024/K=1024 R=64 (16 slots) beats R=16 by 8-10%, while
+        # B=512/K=512 R=32 (16 slots, 8192 lanes/step) loses to R=16.
+        for r in (64, 32, 16, 8, 4):
+            if B % r != 0:
+                continue
+            slots = B // r
+            if slots >= 32 or (slots >= 16 and slots * K >= 16384):
+                R = r
+                break
     if R is None:
         return None
     if not force:

@@ -257,8 +257,12 @@ def test_strip_batch_pad_path(monkeypatch):
 
 def test_strip_plan_admission():
     # square big buckets profit; tiny or non-dividing batches do not
-    assert strip_plan(1024, 1023, 1023, (11, 1)) == (1024, 16)
-    assert strip_plan(128, 1023, 1023, (11, 1)) == (1024, 4)
+    # round 5: the R ladder extends to 64 — the largest packing whose
+    # slot count still fills the machine (>=32 slots, or >=16 when
+    # slots*K >= 16384 lanes/step; measured on the v5e, see strip_plan)
+    assert strip_plan(1024, 1023, 1023, (11, 1)) == (1024, 64)
+    assert strip_plan(512, 511, 511, (11, 1)) == (512, 16)
+    assert strip_plan(128, 1023, 1023, (11, 1)) == (1024, 8)
     assert strip_plan(48, 1023, 1023, (11, 1)) is None  # no R divides
     assert strip_plan(32, 1023, 1023, (11, 1)) is None  # slots too few
     # skewed buckets already utilize lanes well -> no route

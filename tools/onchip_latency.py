@@ -39,8 +39,12 @@ def arg(name, default, cast=int):
 
 
 ROUNDS = arg("rounds", 6)
-B, L, R = 1024, 1023, 16
+B, L = 1024, 1023
 K = strip_stride(L, L)
+from praline_tpu.kernels.strip import strip_plan
+
+_plan = strip_plan(B, L, L, (11, 1))
+R = arg("r", _plan[1] if _plan else 16)
 
 # (a) bare pull latency: tiny dependent computation, pulled per round.
 tin = jnp.zeros((8, 128), jnp.float32)
